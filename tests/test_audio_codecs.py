@@ -1,0 +1,46 @@
+import numpy as np
+import pytest
+
+from unify_spark.audio import pcm
+
+
+@pytest.mark.parametrize("codec", pcm.CODEC_DOMAIN)
+def test_roundtrip_snr(codec):
+    x = pcm.synth_pcm16(7, 16000, 1600)
+    y = pcm.decode(pcm.encode(x, codec), codec)
+    assert y.shape == x.shape
+    assert pcm.snr_db(x, y) >= 30.0
+
+
+@pytest.mark.parametrize("codec", ["pcm_s16le", "flac"])
+def test_lossless_exact(codec):
+    x = pcm.synth_pcm16(11, 8000, 777)
+    y = pcm.decode(pcm.encode(x, codec), codec)
+    assert (x == y).all()
+
+
+def test_synth_deterministic():
+    a = pcm.synth_pcm16(123, 22050, 4097)
+    b = pcm.synth_pcm16(123, 22050, 4097)
+    assert (a == b).all()
+    c = pcm.synth_pcm16(124, 22050, 4097)
+    assert (a != c).any()
+
+
+def test_truncation_fails_snr():
+    x = pcm.synth_pcm16(9, 16000, 800)
+    blob = pcm.encode(x, "ulaw")
+    y = pcm.decode(blob[: len(blob) * 3 // 5], "ulaw")
+    assert pcm.snr_db(x, y) == float("-inf")
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(ValueError):
+        pcm.decode(b"\x00\x01", "opus")
+
+
+def test_noise_distribution():
+    n = pcm._noise_vec(5, 50_000)
+    assert abs(float(n.mean())) < 0.02
+    assert 0.5 < float(n.std()) < 0.65  # uniform [-1,1) → std ≈ 0.577
+    assert float(np.abs(n).max()) <= 1.0

@@ -1,0 +1,122 @@
+"""End-to-end golden test: run the full constraint suite on the seeded
+fixture and pin EXACT violation key sets per constraint + the per-partition
+verdict matrix (the analogue of the reference's validations.edn golden counts
+and the 2601-tx pin, reference test/.../import_test.clj:68)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.operators.base import ValidationContext
+from unify_spark.plans import ValidationRunner, audio_suite
+
+
+@pytest.fixture(scope="module")
+def run(spark, audio_tables, manifest, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run_out"))
+    ctx = ValidationContext(run_id="golden", payload_cap_ms=manifest["payload_cap_ms"])
+    runner = ValidationRunner(spark, out, ctx)
+    result = runner.run(audio_tables, audio_suite(), resume=False)
+    return runner, result, out
+
+
+def _violation_keys(spark, out, constraint_name):
+    import os
+
+    from unify_spark.plans.runner import _safe
+
+    path = os.path.join(out, "violations", _safe(constraint_name))
+    if not os.path.exists(path):
+        return set()
+    return {
+        r["key"] for r in spark.read.parquet(path).select("key").distinct().collect()
+    }
+
+
+def test_uniqueness_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "uniqueness:clips.clip_id"
+    assert _violation_keys(spark, out, name) == set(manifest["uniqueness_clip_ids"])
+    # each dup id contributes 2 rows
+    assert result.violation_counts[name] == 2 * len(manifest["uniqueness_clip_ids"])
+
+
+def test_referential_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "referential:transcript_map.clip_id->clips.clip_id"
+    assert _violation_keys(spark, out, name) == set(manifest["dangling_transcript_ids"])
+    assert result.violation_counts[name] == len(manifest["dangling_transcript_ids"])
+
+
+def test_transcript_equality_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "equality:clips.transcript=transcript_map.transcript"
+    assert _violation_keys(spark, out, name) == set(manifest["mismatch_transcript_ids"])
+
+
+def test_codec_domain_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "domain:clips.codec"
+    assert _violation_keys(spark, out, name) == set(manifest["codec_domain_clip_ids"])
+
+
+def test_range_exact(spark, run, manifest):
+    runner, result, out = run
+    got = _violation_keys(spark, out, "range:clips.sr_hz") | _violation_keys(
+        spark, out, "range:clips.dur_ms"
+    )
+    assert got == set(manifest["range_clip_ids"])
+    assert (
+        result.violation_counts["range:clips.sr_hz"]
+        + result.violation_counts["range:clips.dur_ms"]
+        == len(manifest["range_clip_ids"])
+    )
+
+
+def test_nullness_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "required:clips.transcript+bytes"
+    assert _violation_keys(spark, out, name) == set(manifest["nullness_clip_ids"])
+
+
+def test_payload_exact(spark, run, manifest):
+    runner, result, out = run
+    name = "payload:clips.bytes"
+    assert _violation_keys(spark, out, name) == set(manifest["payload_clip_ids"])
+
+
+def test_drift_partition(spark, run, manifest):
+    runner, result, out = run
+    name = "drift:clips.dur_ms"
+    assert _violation_keys(spark, out, name) == {manifest["drift_part"]}
+
+
+def test_verdict_matrix_complete(spark, run, manifest):
+    """Every (constraint, partition) cell present; drift fails exactly the
+    shifted partition; a clean partition passes everything."""
+    runner, result, out = run
+    verdicts = runner.verdict_matrix().collect()
+    cells = {(r["constraint"], r["part"]): r["status"] for r in verdicts}
+    n_parts = manifest["n_parts"]
+    # drift rows exist for every partition of the clips table
+    drift_cells = {p: s for (c, p), s in cells.items() if c == "drift:clips.dur_ms"}
+    assert len(drift_cells) == n_parts
+    assert drift_cells[manifest["drift_part"]] == "fail"
+    assert all(
+        s == "pass" for p, s in drift_cells.items() if p != manifest["drift_part"]
+    )
+
+
+def test_clean_fixture_all_pass(spark, tmp_path_factory):
+    """No injected violations → zero violations everywhere."""
+    from unify_spark.fixtures import generate_fixture
+    from unify_spark.plans import load_audio_tables
+
+    d = str(tmp_path_factory.mktemp("clean_fixture"))
+    generate_fixture(d, n_rows=2_000, n_parts=4, inject=False)
+    tables = load_audio_tables(spark, d)
+    out = str(tmp_path_factory.mktemp("clean_out"))
+    runner = ValidationRunner(
+        spark, out, ValidationContext(run_id="clean", payload_cap_ms=50)
+    )
+    result = runner.run(tables, audio_suite(), resume=False)
+    assert result.passed, result.violation_counts

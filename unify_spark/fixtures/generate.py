@@ -1,0 +1,302 @@
+"""Deterministic synthetic fixture generator (FIXTURES.md T1–T4 + V1–V8).
+
+The analogue of the reference's golden-count integration fixtures
+(reference test/resources/systems/candel/small-reference-import/validations.edn and
+the 2601-tx pin at test/com/vendekagonlabs/unify/import_test.clj:68): a seeded
+clips + transcript_map dataset with *known, disjoint, exactly-counted* injected
+violations, plus a JSON manifest of the expected violation keys per constraint
+so pytest can pin exact violation-row sets and the per-partition verdict
+matrix.
+
+Payload note: ``dur_ms`` is the clip's logical duration (drives stats/range/
+drift constraints); the stored byte payload is synthesized for
+``min(dur_ms, payload_cap_ms)`` so fixture volume stays test-sized. The
+payload constraint derives its expected frame count with the same cap. At
+production scale the cap is simply None.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from unify_spark.audio import pcm
+
+SR_CHOICES = (8000, 16000, 22050, 44100, 48000)  # weights 1,4,1,2,2 (of 10)
+_SR_BY_DECILE = (8000, 16000, 16000, 16000, 16000, 22050, 44100, 44100, 48000, 48000)
+_CODEC_BY_DECILE = (
+    "pcm_s16le", "pcm_s16le", "pcm_s16le", "pcm_s16le", "pcm_s16le", "pcm_s16le",
+    "flac", "flac", "ulaw", "mp3",
+)
+BAD_CODECS = ("opus", "wav")
+DUR_MIN_MS, DUR_MAX_MS = 200, 30000
+
+_WORDLIST = tuple(f"w{i:03d}" for i in range(512))
+
+
+def _h(i: int, salt: int = 0) -> int:
+    """Deterministic 32-bit mix (Knuth multiplicative hash)."""
+    return ((i + salt * 1_000_003) * 2654435761) & 0xFFFFFFFF
+
+
+def _transcript(i: int, dur_ms: int) -> str:
+    n_words = max(1, min(int(dur_ms) // 400, 60))
+    return " ".join(_WORDLIST[_h(i, k + 1) % 512] for k in range(n_words))
+
+
+@dataclass
+class FixtureManifest:
+    """Expected violation keys per constraint id (the golden answer)."""
+
+    n_rows: int
+    n_parts: int
+    payload_cap_ms: int
+    uniqueness_clip_ids: list[str] = field(default_factory=list)       # V1
+    dangling_transcript_ids: list[str] = field(default_factory=list)   # V2
+    mismatch_transcript_ids: list[str] = field(default_factory=list)   # V3
+    codec_domain_clip_ids: list[str] = field(default_factory=list)     # V4
+    range_clip_ids: list[str] = field(default_factory=list)            # V5
+    nullness_clip_ids: list[str] = field(default_factory=list)         # V6
+    payload_clip_ids: list[str] = field(default_factory=list)          # V7
+    drift_part: str = ""                                               # V8
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2, sort_keys=True)
+
+
+def _part_date(i: int, n_parts: int) -> str:
+    return f"2025-01-{1 + _h(i, 9) % n_parts:02d}"
+
+
+def generate_fixture(
+    out_dir: str,
+    n_rows: int = 10_000,
+    n_parts: int = 8,
+    seed: int = 42,
+    payload_cap_ms: int = 50,
+    inject: bool = True,
+) -> FixtureManifest:
+    """Write clips/, transcript_map/, codec_domain/, reference_decode/
+    parquet datasets under ``out_dir`` and return the violation manifest.
+
+    All randomness is PCG64(seed) vectorized draws + integer hash mixes —
+    byte-stable across runs and platforms.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = np.arange(n_rows)
+
+    # -- column draws (vectorized) ------------------------------------------
+    dur = np.exp(rng.normal(np.log(3000.0), 0.6, size=n_rows))
+    dur = np.clip(dur, DUR_MIN_MS, DUR_MAX_MS).astype(np.int64)
+    h_sr = (idx * 2654435761 + 11 * 1_000_003 * 2654435761) & 0xFFFFFFFF
+    sr = np.array([_SR_BY_DECILE[v % 10] for v in h_sr], dtype=np.int64)
+    h_codec = (idx * 2654435761 + 12 * 1_000_003 * 2654435761) & 0xFFFFFFFF
+    codec = np.array([_CODEC_BY_DECILE[v % 10] for v in h_codec], dtype=object)
+    part = np.array([_part_date(int(i), n_parts) for i in idx], dtype=object)
+
+    manifest = FixtureManifest(n_rows=n_rows, n_parts=n_parts, payload_cap_ms=payload_cap_ms)
+
+    # -- violation index sets (disjoint; see FIXTURES.md) --------------------
+    v1_dup_src = list(range(100, 125)) if inject else []          # 25 dup clip_ids
+    v2_dangling = list(range(17)) if inject else []               # 17 dangling map rows
+    v3_mismatch = list(range(700, 713)) if inject else []         # 13 transcript mismatches
+    v4_codec = list(range(300, 311)) if inject else []            # 11 bad codecs
+    v5_range = list(range(400, 409)) if inject else []            # 9 sr/dur range
+    v6_null = list(range(500, 507)) if inject else []             # 7 nulls
+    v7_corrupt = list(range(600, 605)) if inject else []          # 5 truncated payloads
+    drift_part = f"2025-01-{n_parts:02d}" if inject else ""
+
+    if inject:
+        # V5: 5 rows bad sample rate, 4 rows bad duration
+        for j, i in enumerate(v5_range):
+            if j < 5:
+                sr[i] = 11025
+            else:
+                dur[i] = 0 if j % 2 else 40000
+        # V4: out-of-domain codec strings
+        for j, i in enumerate(v4_codec):
+            codec[i] = BAD_CODECS[j % 2]
+        # V8: shift the last partition's duration distribution ×2 (clipped to
+        # stay inside the legal range so drift is the ONLY constraint firing)
+        drift_mask = part == drift_part
+        keep = np.ones(n_rows, dtype=bool)
+        keep[v5_range] = False
+        dur = np.where(drift_mask & keep, np.minimum(dur * 2, DUR_MAX_MS), dur)
+        manifest.drift_part = drift_part
+
+    # -- transcripts (after duration edits so word counts track dur) --------
+    transcripts: list[str | None] = [_transcript(int(i), int(dur[i])) for i in idx]
+
+    # -- payload bytes -------------------------------------------------------
+    def payload(i: int) -> bytes | None:
+        n_samples = int(min(int(dur[i]), payload_cap_ms) * int(sr[i]) // 1000)
+        raw = pcm.synth_pcm16(int(i), int(sr[i]), n_samples)
+        return pcm.encode(raw, str(codec[i]))
+
+    blobs: list[bytes | None] = [payload(int(i)) for i in idx]
+
+    # reference decode (computed from the CLEAN payloads, before V6/V7 edits —
+    # analogue of the reference's pre-import golden fixtures)
+    ref_rows = []
+    for i in idx:
+        b = blobs[i]
+        try:
+            decoded = pcm.decode(b, str(codec[i])) if str(codec[i]) in pcm.CODEC_DOMAIN \
+                else np.frombuffer(b, dtype="<i2")
+        except ValueError:
+            decoded = np.zeros(0, dtype="<i2")
+        ref_rows.append(
+            (
+                f"clip-{int(i):010d}",
+                hashlib.sha256(decoded.tobytes()).hexdigest(),
+                float(np.sqrt(np.mean(decoded.astype(np.float64) ** 2))) if decoded.size else 0.0,
+                transcripts[i],
+            )
+        )
+
+    if inject:
+        for i in v6_null[:4]:
+            transcripts[i] = None
+        for i in v6_null[4:]:
+            blobs[i] = None
+        for i in v7_corrupt:
+            b = blobs[i]
+            blobs[i] = b[: max(2, (len(b) * 3 // 5) & ~1)]  # truncate, keep even length
+
+    clip_ids = [f"clip-{int(i):010d}" for i in idx]
+
+    rows = {
+        "clip_id": list(clip_ids),
+        "bytes": list(blobs),
+        "sr_hz": [int(v) for v in sr],
+        "dur_ms": [int(v) for v in dur],
+        "codec": [str(c) for c in codec],
+        "transcript": list(transcripts),
+        "part_date": list(part),
+    }
+
+    if inject:
+        # V1: re-emit 25 earlier rows under the same clip_id with NEW bytes —
+        # same synth index (so payload checks still pass) but a different codec
+        # container, landing in spread-out partitions.
+        for i in v1_dup_src:
+            new_codec = "flac" if str(codec[i]) != "flac" else "mp3"
+            n_samples = int(min(int(dur[i]), payload_cap_ms) * int(sr[i]) // 1000)
+            raw = pcm.synth_pcm16(int(i), int(sr[i]), n_samples)
+            rows["clip_id"].append(clip_ids[i])
+            rows["bytes"].append(pcm.encode(raw, new_codec))
+            rows["sr_hz"].append(int(sr[i]))
+            rows["dur_ms"].append(int(dur[i]))
+            rows["codec"].append(new_codec)
+            rows["transcript"].append(transcripts[i])
+            rows["part_date"].append(_part_date(i + 7_777, n_parts))
+            manifest.uniqueness_clip_ids.append(clip_ids[i])
+
+    clips_schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+            ("part_date", pa.string()),
+        ]
+    )
+    clips_tbl = pa.table(rows, schema=clips_schema)
+    _write_partitioned(clips_tbl, os.path.join(out_dir, "clips"), "part_date")
+
+    # -- transcript_map (T2) -------------------------------------------------
+    m_tid, m_cid, m_txt, m_src, m_rix = [], [], [], [], []
+    for i in idx:
+        m_tid.append(f"tr-{int(i):010d}")
+        m_cid.append(clip_ids[i])
+        # map keeps the ORIGINAL transcript (pre-null), so V6 nulls are caught
+        # by nullness only, not by the equality check (disjoint sets)
+        m_txt.append(ref_rows[i][3])
+        m_src.append(f"batch-{int(i) % 20:03d}.tsv")
+        m_rix.append(int(i) // 20)
+    if inject:
+        for j, i in enumerate(v3_mismatch):
+            m_txt[i] = (m_txt[i] or "") + " zz-mismatch"
+            manifest.mismatch_transcript_ids.append(m_tid[i])
+        for j in v2_dangling:
+            tid = f"tr-dangling-{j:04d}"
+            m_tid.append(tid)
+            m_cid.append(f"clip-9{j:09d}")
+            m_txt.append(_transcript(j + 31_337, 2000))
+            m_src.append(f"batch-{j % 20:03d}.tsv")
+            m_rix.append(500 + j)
+            manifest.dangling_transcript_ids.append(tid)
+
+    map_tbl = pa.table(
+        {
+            "transcript_id": m_tid,
+            "clip_id": m_cid,
+            "transcript": m_txt,
+            "source_file": m_src,
+            "row_index": m_rix,
+        },
+        schema=pa.schema(
+            [
+                ("transcript_id", pa.string()),
+                ("clip_id", pa.string()),
+                ("transcript", pa.string()),
+                ("source_file", pa.string()),
+                ("row_index", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(map_tbl, os.path.join(out_dir, "transcript_map.parquet"))
+
+    # -- codec_domain (T3) ---------------------------------------------------
+    dom_tbl = pa.table(
+        {
+            "codec": list(pcm.CODEC_DOMAIN),
+            "lossy": [False, False, True, True],
+        }
+    )
+    pq.write_table(dom_tbl, os.path.join(out_dir, "codec_domain.parquet"))
+
+    # -- reference_decode (T4) ----------------------------------------------
+    ref_tbl = pa.table(
+        {
+            "clip_id": [r[0] for r in ref_rows],
+            "pcm_sha256": [r[1] for r in ref_rows],
+            "rms": [r[2] for r in ref_rows],
+            "transcript": [r[3] for r in ref_rows],
+        }
+    )
+    pq.write_table(ref_tbl, os.path.join(out_dir, "reference_decode.parquet"))
+
+    # -- manifest golden keys ------------------------------------------------
+    if inject:
+        manifest.codec_domain_clip_ids = [clip_ids[i] for i in v4_codec]
+        manifest.range_clip_ids = [clip_ids[i] for i in v5_range]
+        manifest.nullness_clip_ids = [clip_ids[i] for i in v6_null]
+        manifest.payload_clip_ids = [clip_ids[i] for i in v7_corrupt]
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        f.write(manifest.to_json())
+    return manifest
+
+
+def _write_partitioned(tbl: pa.Table, path: str, part_col: str) -> None:
+    """Hive-partitioned parquet dataset (deterministic file naming)."""
+    os.makedirs(path, exist_ok=True)
+    parts = tbl.column(part_col).to_pylist()
+    order = sorted(set(parts))
+    import pyarrow.compute as pc
+
+    for p in order:
+        sub = tbl.filter(pc.equal(tbl[part_col], p)).drop_columns([part_col])
+        d = os.path.join(path, f"{part_col}={p}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, "part-00000.parquet"))

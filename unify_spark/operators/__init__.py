@@ -1,0 +1,19 @@
+from unify_spark.operators.base import (  # noqa: F401
+    Constraint,
+    ValidationContext,
+    VIOLATION_SCHEMA,
+    empty_violations,
+)
+from unify_spark.operators.constraints import (  # noqa: F401
+    CompositeIdConstraint,
+    DomainConstraint,
+    EnumMappingConstraint,
+    EqualityAcrossTablesConstraint,
+    RangeConstraint,
+    ReferentialIntegrityConstraint,
+    RequiredConstraint,
+    UniquenessConstraint,
+)
+from unify_spark.operators.drift import DriftConstraint  # noqa: F401
+from unify_spark.operators.payload import AudioPayloadConstraint  # noqa: F401
+from unify_spark.operators.profile import profile_table  # noqa: F401

@@ -1,0 +1,108 @@
+"""Constraint operator base: canonical violation schema + context.
+
+The reference validates row-at-a-time with clojure.spec predicates and
+accumulates error maps with file/line annotations
+(reference src/com/vendekagonlabs/unify/validation/record.clj:22-33,
+src/com/vendekagonlabs/unify/validation/post_import.clj:26-53). Here every
+constraint is a *columnar* DataFrame plan producing a violation DataFrame in
+one canonical schema — violations stay distributed, are capped like the
+reference's 1000-error cap (post_import.clj:47-48), and verdicts are derived
+by aggregation, never driver loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# one row per violating (row, constraint, column); lineage mirrors the
+# reference's per-entity file/line annotations
+# (reference src/com/vendekagonlabs/unify/import/engine/parse/data.clj:642-643)
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("constraint", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("column", T.StringType(), True),
+        T.StructField("observed", T.StringType(), True),
+        T.StructField("expected", T.StringType(), True),
+        T.StructField("part", T.StringType(), True),
+        T.StructField("source_file", T.StringType(), True),
+        T.StructField("row_index", T.LongType(), True),
+    ]
+)
+
+
+@dataclass
+class ValidationContext:
+    """Run-scoped knobs shared by all constraints."""
+
+    run_id: str = "run-0"
+    violation_cap: int = 1000  # per constraint, like the reference's error cap
+    fail_fast: bool = False  # reference kills a file job on first anomaly
+    payload_cap_ms: int | None = 50  # fixture payload truncation (None = full)
+    part_col: str = "part_date"
+    extra: dict = field(default_factory=dict)
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def make_violations(
+    df: DataFrame,
+    *,
+    constraint: str,
+    table: str,
+    key: Column | str,
+    column: str | None,
+    observed: Column | str | None,
+    expected: str | None,
+    part: Column | str | None = None,
+    source_file: Column | str | None = None,
+    row_index: Column | str | None = None,
+) -> DataFrame:
+    """Project any violating-row DataFrame onto the canonical schema."""
+
+    def col_of(v, cast: str = "string") -> Column:
+        if v is None:
+            return F.lit(None).cast(cast)
+        if isinstance(v, str):
+            return F.col(v).cast(cast)
+        return v.cast(cast)
+
+    return df.select(
+        F.lit(constraint).alias("constraint"),
+        F.lit(table).alias("table"),
+        col_of(key).alias("key"),
+        F.lit(column).cast("string").alias("column"),
+        col_of(observed).alias("observed"),
+        F.lit(expected).cast("string").alias("expected"),
+        col_of(part).alias("part"),
+        col_of(source_file).alias("source_file"),
+        col_of(row_index, "long").alias("row_index"),
+    )
+
+
+class Constraint:
+    """A named validation over one or more tables.
+
+    Subclasses implement ``violations(tables, ctx)`` returning a DataFrame in
+    ``VIOLATION_SCHEMA``. Partition-level verdicts are derived generically by
+    the runner; constraints whose natural granularity IS the partition (drift)
+    override ``partition_grain = True`` and emit one violation row per failing
+    partition with ``key = part``.
+    """
+
+    name: str = "constraint"
+    table: str = "clips"
+    partition_grain: bool = False
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        raise NotImplementedError
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{type(self).__name__} {self.name} on {self.table}>"

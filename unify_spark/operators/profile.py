@@ -1,0 +1,110 @@
+"""Column statistics profiler (north_rule "column stats" component).
+
+Per column: null rate, min/max, approx-distinct (HyperLogLog++ — Spark's
+``approx_count_distinct``), and for numerics approximate quantiles
+(``percentile_approx``; Spark's space-bounded, mergeable sketch — the
+t-digest role in BASELINE.json; see SURVEY §4.3 for why GK/approx-percentile
+is the verdict-deterministic choice). Computed global and per-partition in
+ONE aggregation pass each — all sketches are mergeable, so per-partition
+partials combine map-side; at 10^12 rows this is two shuffles of
+(n_parts × n_cols) tiny aggregate states.
+
+Output is a long-format DataFrame: (table, part, column, stat, value) with
+value stringified — the metrics sidecar persisted into the audit table,
+mirroring unify's import metrics maps
+(src/com/vendekagonlabs/unify/import.clj:103-108).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long"}
+
+STAT_SCHEMA = "table string, part string, column string, stat string, value string"
+
+
+def _agg_exprs(df: DataFrame, quantiles: list[float]) -> list:
+    exprs = [F.count(F.lit(1)).alias("__rows")]
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        exprs.append(
+            F.avg(F.col(name).isNull().cast("double")).alias(f"{name}||null_rate")
+        )
+        exprs.append(F.approx_count_distinct(name).alias(f"{name}||approx_distinct"))
+        if base in _NUMERIC:
+            exprs.append(F.min(name).cast("double").alias(f"{name}||min"))
+            exprs.append(F.max(name).cast("double").alias(f"{name}||max"))
+            exprs.append(
+                F.percentile_approx(
+                    F.col(name).cast("double"), quantiles, 10000
+                ).alias(f"{name}||quantiles")
+            )
+        elif base == "string":
+            exprs.append(F.min(F.length(name)).cast("double").alias(f"{name}||min_len"))
+            exprs.append(F.max(F.length(name)).cast("double").alias(f"{name}||max_len"))
+        elif base == "binary":
+            exprs.append(F.min(F.length(name)).cast("double").alias(f"{name}||min_bytes"))
+            exprs.append(F.max(F.length(name)).cast("double").alias(f"{name}||max_bytes"))
+    return exprs
+
+
+def profile_table(
+    df: DataFrame,
+    table: str,
+    part_col: str | None = None,
+    quantiles: list[float] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Long-format stats, global (part='*') plus per-partition rows."""
+    quantiles = quantiles or [0.25, 0.5, 0.75, 0.95]
+    exclude = set(exclude or [])
+    cols = [c for c in df.columns if c not in exclude and c != part_col]
+    slim = df.select(*cols, *( [part_col] if part_col else [] ))
+
+    def melt(agg: DataFrame, part_expr) -> DataFrame:
+        stat_cols = [c for c in agg.columns if "||" in c]
+        pairs = []
+        for c in stat_cols:
+            col_name, stat = c.split("||", 1)
+            pairs.append(F.lit(col_name))
+            pairs.append(F.lit(stat))
+            pairs.append(F.col(f"`{c}`").cast("string"))
+        stacked = agg.select(
+            part_expr.alias("part"),
+            F.col("__rows").cast("string").alias("__rows"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            pairs[i].alias("column"),
+                            pairs[i + 1].alias("stat"),
+                            pairs[i + 2].alias("value"),
+                        )
+                        for i in range(0, len(pairs), 3)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        rows = agg.select(
+            part_expr.alias("part"),
+            F.lit("*").alias("column"),
+            F.lit("rows").alias("stat"),
+            F.col("__rows").cast("string").alias("value"),
+        )
+        return stacked.select(
+            F.lit(table).alias("table"),
+            "part",
+            F.col("kv.column").alias("column"),
+            F.col("kv.stat").alias("stat"),
+            F.col("kv.value").alias("value"),
+        ).unionByName(
+            rows.select(F.lit(table).alias("table"), "part", "column", "stat", "value")
+        )
+
+    exprs = _agg_exprs(slim.drop(part_col) if part_col else slim, quantiles)
+    out = melt(slim.agg(*exprs), F.lit("*"))
+    if part_col:
+        per = slim.groupBy(part_col).agg(*exprs)
+        out = out.unionByName(melt(per, F.col(part_col).cast("string")))
+    return out

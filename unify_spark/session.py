@@ -1,0 +1,82 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Single place where we encode the cluster-tuning stance of the engine:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow for all pandas UDF exchange, explicit shuffle parallelism. On a real
+multi-executor cluster the same settings apply; only ``master`` changes
+(spark-submit provides it), so ``get_spark(master=None)`` defers to the
+environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[N], 128 GiB). On a 1000-executor
+# cluster the shuffle partition count is governed by AQE coalescing from
+# ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` instead, and
+# file-split sizing by maxPartitionBytes — both safe to keep here.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # fixture tables are hive-partitioned by part_date=YYYY-MM-DD; keep the
+    # partition value a string (matches the declared schema) instead of date
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "unify_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master=None`` leaves master to spark-submit / environment; tests and
+    bench pass ``local[8]`` / ``local[32]`` explicitly. ``shuffle_partitions``
+    defaults to the local core count so one-stage shuffles saturate the
+    machine without tiny-partition overhead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # match the advertised parallelism of the master string when local
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = int(master[6:-1])
+        else:
+            shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.default.parallelism"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Fully stop the active session so a new master can be used (bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # Spark 4 keeps a default-session holder; clear it so the next
+    # ``getOrCreate`` builds a fresh context with the requested master.
+    try:  # pragma: no cover - defensive, API is stable in practice
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    except Exception:
+        pass
