@@ -1,38 +1,431 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry demonstrates an operator family from SURVEY.md §2
+re-expressed Spark-first (implemented in ``unify_spark``), phrased over the
+driver's TPC-H-ish parquet tables so the DuckDB oracle can verify it.
+Aggregates are rounded in BOTH dialects so value hashes are stable.
+
+Entries without an ``oracle_sql()`` twin (minhash/simhash/LSH-ANN) are the
+genuinely non-SQL-expressible candidate-generation operators; the driver
+records a rows-only check for them and their exact semantics are pinned by
+``tests/`` instead.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from unify_spark.functions import dedup, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-stats / grouped aggregation (SURVEY §2.4; profile_table's
+    aggregation shape phrased as a TPC-H-Q1-style plan)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_uniqueness_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """UniquenessConstraint core: duplicate-key detection (SURVEY §2.3
+    upsert-collision crosscheck)."""
+    li = _t(spark, sf, "lineitem")
+    return dedup.exact_duplicates(li.select("l_orderkey"), ["l_orderkey"])
+
+
+def q_composite_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-key uniqueness (synthetic-composite-id analogue)."""
+    li = _t(spark, sf, "lineitem")
+    return dedup.exact_duplicates(
+        li.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"]
+    )
+
+
+def q_ri_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential integrity via broadcast anti-join (dangling refs)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        orders.join(F.broadcast(cust.distinct()), on="o_custkey", how="left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential integrity at fact×fact scale (shuffle anti-join)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    return (
+        li.join(orders.distinct(), on="l_orderkey", how="left_anti")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+def q_domain_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """DomainConstraint: enum membership violations (isin pushdown)."""
+    ev = _t(spark, sf, "events")
+    allowed = ["click", "view", "purchase", "signup"]
+    return ev.filter(~F.col("event_type").isin(allowed)).select("event_id", "event_type")
+
+
+def q_enum_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """EnumMappingConstraint: remap with unresolved-as-violation semantics
+    (reference data.clj:292-306)."""
+    ev = _t(spark, sf, "events")
+    mapping = {
+        "click": "interaction",
+        "view": "interaction",
+        "purchase": "conversion",
+        "signup": "conversion",
+    }
+    mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return (
+        ev.select(F.coalesce(mexpr[F.col("event_type")], F.lit("UNRESOLVED")).alias("mapped"))
+        .groupBy("mapped")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_nullrate_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-rate stats (profile_table's null_rate aggregate)."""
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.round(F.avg(F.col("props").isNull().cast("double")), 6).alias("null_rate_props"),
+        F.round(F.avg(F.col("value").isNull().cast("double")), 6).alias("null_rate_value"),
+        F.round(F.avg(F.col("user_id").isNull().cast("double")), 6).alias("null_rate_user"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch slot — exact percentile here so the DuckDB oracle can
+    verify values; the engine's profiler uses percentile_approx (mergeable
+    sketch) for the same stat at scale."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+def q_completeness_linenumber(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-vs-max completeness check (reference query.clj:136-146 —
+    therapies-per-subject order completeness)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("l_linenumber").alias("max_line"),
+        )
+        .filter(F.col("n_lines") != F.col("max_line"))
+    )
+
+
+def q_window_top_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Window/top-k per key (row_number over value desc)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("top_value"))
+    )
+
+
+def q_drift_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """DriftConstraint's distributed half: per-partition histogram counts
+    (the KS/PSI sufficient statistic)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact text dedup by content hash."""
+    docs = _t(spark, sf, "documents")
+    return dedup.exact_duplicates(
+        docs.select(F.md5("text").alias("text_hash")), ["text_hash"]
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting per language (whitespace tokenizer)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text").cast("long")).alias("total_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword ratios)."""
+    docs = _t(spark, sf, "documents")
+    feats = text.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized document fingerprint (md5 of canonicalized text)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def q_embed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine >= 0.35 (brute force)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.cosine_pairs(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding (deterministic
+    ordering by rounded similarity then id)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(q.withColumnRenamed("embedding", "qv"))
+    )
+    sim = F.round(
+        similarity.cosine(
+            similarity._as_double("embedding"), similarity._as_double("qv")
+        ),
+        6,
+    ).alias("cos_sim")
+    return (
+        base.select("vec_id", sim)
+        .orderBy(F.desc("cos_sim"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column (confusion counts)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("lang", text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only check; semantics pinned in
+    tests/test_functions.py)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_candidates(docs, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def q_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banding near-dup candidates (rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_candidates(docs, "doc_id", "text", band_bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.2 (rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate NN for the first 5 vectors (rows-only)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_stats_lineitem(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_stats_lineitem": q_stats_lineitem,
+        "q_uniqueness_dups": q_uniqueness_dups,
+        "q_composite_uniqueness": q_composite_uniqueness,
+        "q_ri_orders_customer": q_ri_orders_customer,
+        "q_ri_lineitem_orders": q_ri_lineitem_orders,
+        "q_domain_event_type": q_domain_event_type,
+        "q_enum_mapping": q_enum_mapping,
+        "q_nullrate_events": q_nullrate_events,
+        "q_quantiles_price": q_quantiles_price,
+        "q_completeness_linenumber": q_completeness_linenumber,
+        "q_window_top_event": q_window_top_event,
+        "q_drift_histogram": q_drift_histogram,
+        "q_dedup_exact_docs": q_dedup_exact_docs,
+        "q_text_tokens": q_text_tokens,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_embed_cosine_pairs": q_embed_cosine_pairs,
+        "q_embed_topk": q_embed_topk,
+        "q_lang_id": q_lang_id,
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_simhash_candidates": q_simhash_candidates,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_lsh_ann": q_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = "'the','a','of','and','to','in','is','that'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_stats_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_uniqueness_dups": """
+            SELECT l_orderkey, COUNT(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "q_composite_uniqueness": """
+            SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+        """,
+        "q_ri_orders_customer": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "q_ri_lineitem_orders": """
+            SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "q_domain_event_type": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type NOT IN ('click','view','purchase','signup')
+        """,
+        "q_enum_mapping": """
+            SELECT CASE event_type
+                     WHEN 'click' THEN 'interaction'
+                     WHEN 'view' THEN 'interaction'
+                     WHEN 'purchase' THEN 'conversion'
+                     WHEN 'signup' THEN 'conversion'
+                     ELSE 'UNRESOLVED' END AS mapped,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q_nullrate_events": """
+            SELECT ROUND(AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_props,
+                   ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_value,
+                   ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_user,
+                   COUNT(*) AS n_rows
+            FROM events
+        """,
+        "q_quantiles_price": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_completeness_linenumber": """
+            SELECT l_orderkey, COUNT(*) AS n_lines, MAX(l_linenumber) AS max_line
+            FROM lineitem GROUP BY l_orderkey
+            HAVING COUNT(*) <> MAX(l_linenumber)
+        """,
+        "q_window_top_event": """
+            SELECT user_id, event_id, ROUND(value, 6) AS top_value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "q_drift_histogram": """
+            SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+                   CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "q_dedup_exact_docs": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "q_text_tokens": r"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q_text_quality": rf"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   ROUND(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                         x -> lower(x) IN ({_STOP_EN})))
+                         / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "q_text_fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "q_embed_cosine_pairs": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.e, b.e) /
+                           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+                         AS cos_sim
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.35
+        """,
+        "q_embed_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+                 q AS (SELECT e FROM v WHERE vec_id = 0)
+            SELECT v.vec_id,
+                   ROUND(list_dot_product(v.e, q.e) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.e, q.e))), 6)
+                       AS cos_sim
+            FROM v, q WHERE v.vec_id <> 0
+            ORDER BY cos_sim DESC, v.vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,175 @@
+"""Benchmark harness (driver contract).
+
+Two phases:
+
+1. **Scaling evidence (the BASELINE.json north rule)** — run the FULL audio
+   constraint suite on a deterministic bench clips table at two parallelism
+   levels, local[8] (N) and local[32] (4N), same input; report clips/sec at
+   both and efficiency = cps32 / (4 * cps8). Written to BENCH/BASELINE.md.
+
+2. **Headline testdata queries** — per-query wall seconds at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[32].
+
+Prints exactly ONE JSON line at the end:
+  {"metric": ..., "value": <full-suite sec @ local[32]>, "unit": "sec",
+   "queries": {...}, "sf": ..., plus scaling fields}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_ROWS = int(os.environ.get("UNIFY_BENCH_ROWS", "240000"))
+BENCH_PARTS = 16
+BENCH_FILES_PER_PART = 4
+BENCH_DIR = os.path.join(REPO, ".bench_data", f"clips_{BENCH_ROWS}")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "q_stats_lineitem",
+    "q_uniqueness_dups",
+    "q_ri_lineitem_orders",
+    "q_quantiles_price",
+    "q_window_top_event",
+    "q_completeness_linenumber",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_dedup_exact_docs",
+    "q_minhash_candidates",
+    "q_simhash_candidates",
+    "q_embed_cosine_pairs",
+    "q_drift_histogram",
+]
+
+
+def ensure_fixture() -> str:
+    if not os.path.exists(os.path.join(BENCH_DIR, "manifest.json")):
+        from unify_spark.fixtures import generate_fixture
+
+        print(f"[bench] generating bench fixture {BENCH_ROWS} rows -> {BENCH_DIR}", file=sys.stderr)
+        generate_fixture(
+            BENCH_DIR,
+            n_rows=BENCH_ROWS,
+            n_parts=BENCH_PARTS,
+            payload_cap_ms=50,
+            files_per_part=BENCH_FILES_PER_PART,
+        )
+    return BENCH_DIR
+
+
+def run_suite(master: str, shuffle_partitions: int) -> tuple[float, int]:
+    """Full constraint suite wall time (excludes session startup + table
+    line-count); returns (wall_sec, n_clips)."""
+    import shutil
+    import uuid
+
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.plans import ValidationRunner, audio_suite, load_audio_tables
+    from unify_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark(f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions)
+    try:
+        tables = load_audio_tables(spark, BENCH_DIR)
+        n_clips = tables["clips"].count()
+        # warm the JVM + python workers with a trivial job so we measure the
+        # suite, not executor spin-up
+        tables["clips"].select("clip_id").limit(10).count()
+        out = os.path.join(REPO, ".bench_data", f"run_{uuid.uuid4().hex[:8]}")
+        runner = ValidationRunner(
+            spark, out, ValidationContext(run_id="bench", payload_cap_ms=50)
+        )
+        t0 = time.time()
+        runner.run(tables, audio_suite(), resume=False)
+        wall = time.time() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        return wall, n_clips
+    finally:
+        stop_spark()
+
+
+def run_headline(sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from unify_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    try:
+        # warm-up
+        qs["q_stats_lineitem"](spark, sf_dir).collect()
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # full materialization
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        stop_spark()
+    return out
+
+
+def main() -> None:
+    ensure_fixture()
+
+    wall8, n_clips = run_suite("local[8]", 8)
+    wall32, _ = run_suite("local[32]", 32)
+    cps8 = n_clips / wall8
+    cps32 = n_clips / wall32
+    eff = cps32 / (4.0 * cps8)
+
+    queries = run_headline(SF_DIR)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — scaling + throughput evidence
+
+## Scaling (north rule: efficiency >= 0.8 between N and 4N)
+
+Full audio constraint suite (9 constraints: uniqueness, referential, domain,
+2x range, required, transcript equality, payload decode+SNR, drift) on the
+deterministic bench clips table, identical input at two parallelism levels.
+
+| config | clips | wall sec | clips/sec |
+|---|---|---|---|
+| local[8]  (N)  | {n_clips} | {wall8:.2f} | {cps8:,.0f} |
+| local[32] (4N) | {n_clips} | {wall32:.2f} | {cps32:,.0f} |
+
+**Scaling efficiency = cps32 / (4 x cps8) = {eff:.3f}**
+
+## Headline queries at {SF_DIR} (local[{CPUS}])
+
+| query | sec |
+|---|---|
+"""
+            + "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
+            + "\n"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_full_suite_sec_local32",
+                "value": round(wall32, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": 0.1,
+                "clips_rows": n_clips,
+                "clips_per_sec_local8": round(cps8, 1),
+                "clips_per_sec_local32": round(cps32, 1),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,28 @@ def test_unknown_codec_raises():
         pcm.decode(b"\x00\x01", "opus")
 
 
+def test_batch_synth_equals_scalar():
+    idx = np.array([5, 123, 99124, 700])
+    for sr, n in [(16000, 800), (48000, 2400), (8000, 4397)]:
+        batch = pcm.synth_pcm16_batch(idx, sr, n)
+        for k, i in enumerate(idx):
+            assert (batch[k] == pcm.synth_pcm16(int(i), sr, n)).all()
+
+
+@pytest.mark.parametrize("codec", pcm.CODEC_DOMAIN)
+def test_batch_codec_equals_scalar(codec):
+    idx = np.array([1, 42, 77])
+    x = pcm.synth_pcm16_batch(idx, 16000, 800)
+    blobs = pcm.encode_batch(x, codec)
+    dec = pcm.decode_batch(blobs, codec)
+    snrs = pcm.snr_db_batch(x, dec)
+    for k in range(len(idx)):
+        assert blobs[k] == pcm.encode(x[k], codec)
+        assert (dec[k] == pcm.decode(blobs[k], codec)).all()
+        s = pcm.snr_db(x[k], dec[k])
+        assert (np.isinf(snrs[k]) and np.isinf(s)) or abs(snrs[k] - s) < 1e-9
+
+
 def test_noise_distribution():
     n = pcm._noise_vec(5, 50_000)
     assert abs(float(n.mean())) < 0.02

@@ -1,0 +1,110 @@
+"""Semantics tests for the non-SQL-expressible operators (minhash, simhash,
+n-gram jaccard, LSH ANN): near-duplicate documents MUST be found, unrelated
+ones must not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees of the old forest"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word edit → near-dup
+    other = (
+        "completely different content about spark dataframe shuffles and "
+        "catalyst optimizer rules for partition pruning at petabyte scale"
+    )
+    rows = [(0, base), (1, near), (2, other), (3, base)]  # 3 is exact dup of 0
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    dups = dedup.exact_duplicates(docs.select("text"), ["text"]).collect()
+    assert len(dups) == 1 and dups[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup: all hashes agree
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated
+
+
+def test_simhash_hamming(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert pairs[(0, 1)] <= 12
+    assert (0, 2) not in pairs or pairs[(0, 2)] > 12
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_cosine_pairs_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # nearly identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(df, 0.9).collect()}
+    assert pairs == {(0, 1)}
+    top = similarity.cosine_topk(df.filter("vec_id <> 0"), [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+
+
+def test_lsh_ann_recall(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(50, 16)).astype("float32")
+    # make ids 0..4 have an exact near neighbor at 100..104
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.normal(scale=0.01, size=16).astype("float32")).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(df, queries, dim=16, k=3, n_planes=6)
+    got = {(r["id_q"], r["id_b"]) for r in out.filter("rank = 1").collect()}
+    # the planted neighbor shares the LSH bucket and ranks first
+    assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog of a house that is in town"),
+        (1, "der hund und die katze ist nicht ein zu"),
+        (2, "el que la casa y en un es"),
+        (3, "xyzzy plugh qqqq"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "  hello   WORLD  ")],
+        ["doc_id", "text"],
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]

@@ -70,6 +70,37 @@ def _noise_vec(index: int, n: int) -> np.ndarray:
     return (out >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
 
 
+def _noise_vec_2d(indices: np.ndarray, n: int) -> np.ndarray:
+    """Batched LCG noise: same stream per row as ``_noise_vec`` but computed
+    for many rows at once — out[i, j] = a^j * x1_i + c * sum_{t<j} a^t,
+    fully vectorized in wrapping uint64 (blockwise over j)."""
+    m = indices.shape[0]
+    out = np.empty((m, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x0 = ((indices.astype(np.uint64) * np.uint64(2654435761)) + np.uint64(42))
+        x = x0 * _LCG_A + _LCG_C  # x_1 per row
+        pos = 0
+        while pos < n:
+            k = min(_LCG_STRIDE, n - pos)
+            prefix = np.concatenate(([np.uint64(0)], _lcg_csum[: k - 1]))
+            out[:, pos : pos + k] = np.outer(x, _lcg_powers[:k]) + prefix[None, :]
+            x = x * (_lcg_powers[k - 1] * _LCG_A) + _lcg_csum[k - 1]
+            pos += k
+    return (out >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+
+
+def synth_pcm16_batch(indices: np.ndarray, sr_hz: int, n_samples: int) -> np.ndarray:
+    """Vectorized reference synthesis for many clips sharing (sr, length):
+    row i is bit-identical to ``synth_pcm16(indices[i], sr_hz, n_samples)``."""
+    if n_samples <= 0:
+        return np.zeros((indices.shape[0], 0), dtype="<i2")
+    freqs = 110.0 + (indices % 880).astype(np.float64)
+    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    sig = 0.5 * np.sin(2.0 * np.pi * np.outer(freqs, t))
+    sig += 0.01 * _noise_vec_2d(indices, n_samples)
+    return np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
+
+
 def synth_pcm16(index: int, sr_hz: int, n_samples: int) -> np.ndarray:
     """Reference signal for clip ``index``: 0.5-amplitude sine at
 
@@ -167,6 +198,74 @@ def decode(data: bytes, codec: str) -> np.ndarray:
             raise ValueError("odd mp3 payload length")
         return _decode_mp3(data)
     raise ValueError(f"unknown codec: {codec}")
+
+
+def decode_batch(blobs: list[bytes], codec: str) -> np.ndarray:
+    """Vectorized decode of equal-length payloads → (m, n) int16 matrix.
+    Caller groups rows by (codec, byte length); raises like ``decode``."""
+    if not blobs:
+        return np.zeros((0, 0), dtype="<i2")
+    raw = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), len(blobs[0]))
+    if codec == "pcm_s16le":
+        if raw.shape[1] % 2:
+            raise ValueError("odd pcm16 byte length")
+        return raw.view("<i2")
+    if codec == "flac":
+        body = raw[:, len(_FLAC_MAGIC) :]
+        if not blobs[0].startswith(_FLAC_MAGIC) or body.shape[1] % 2:
+            raise ValueError("bad flac payload")
+        d = np.ascontiguousarray(body).view("<i2")
+        return np.cumsum(d.astype(np.int64), axis=1).astype(np.int16).astype("<i2")
+    if codec == "ulaw":
+        u = ~raw.astype(np.int32) & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mag = (((u & 0x0F) << 3) + 0x84) << exp
+        mag -= 0x84
+        return np.clip(np.where(sign != 0, -mag, mag), -32768, 32767).astype("<i2")
+    if codec == "mp3":
+        body = raw[:, len(_MP3_MAGIC) :]
+        if not blobs[0].startswith(_MP3_MAGIC) or body.shape[1] % 2:
+            raise ValueError("bad mp3 payload")
+        return np.ascontiguousarray(body).view("<i2")
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def encode_batch(pcm2d: np.ndarray, codec: str) -> list[bytes]:
+    """Vectorized encode of an (m, n) int16 matrix → m payloads (row i equals
+    ``encode(pcm2d[i], codec)``)."""
+    x = pcm2d.astype("<i2")
+    if codec == "pcm_s16le":
+        return [row.tobytes() for row in x]
+    if codec == "flac":
+        d = np.diff(x.astype(np.int16), prepend=np.int16(0), axis=1).astype("<i2")
+        return [_FLAC_MAGIC + row.tobytes() for row in d]
+    if codec == "ulaw":
+        xi = x.astype(np.int32)
+        sign = np.where(xi < 0, 0x80, 0).astype(np.int32)
+        mag = np.minimum(np.abs(xi), 32635) + 0x84
+        exp = np.clip((np.floor(np.log2(mag)) - 7).astype(np.int32), 0, 7)
+        mantissa = (mag >> (exp + 3)) & 0x0F
+        u = (~(sign | (exp << 4) | mantissa) & 0xFF).astype(np.uint8)
+        return [row.tobytes() for row in u]
+    if codec == "mp3":
+        q = ((x.astype(np.int16) >> 4) << 4).astype("<i2")
+        return [_MP3_MAGIC + row.tobytes() for row in q]
+    return [row.tobytes() for row in x]  # out-of-domain: raw pcm
+
+
+def snr_db_batch(reference: np.ndarray, decoded: np.ndarray) -> np.ndarray:
+    """Row-wise SNR for equal-shape (m, n) matrices; -inf on silent ref."""
+    if reference.shape[1] == 0:
+        return np.full(reference.shape[0], -np.inf)
+    ref = reference.astype(np.float64)
+    err = ref - decoded.astype(np.float64)
+    p_sig = np.mean(ref * ref, axis=1)
+    p_err = np.mean(err * err, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 10.0 * np.log10(p_sig / p_err)
+    out = np.where(p_err == 0.0, np.inf, out)
+    return np.where(p_sig == 0.0, -np.inf, out)
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

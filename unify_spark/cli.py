@@ -1,0 +1,148 @@
+"""CLI entry point (spark-submit compatible).
+
+Subcommand surface mirrors the reference CLI task list
+(src/com/vendekagonlabs/unify/cli.clj:288-300): ``infer-schema`` /
+``validate`` / ``profile`` / ``generate-fixture`` replace unify's
+compile-schema / validate / prepare trio for the Spark world.
+
+Usage (cluster):
+    spark-submit --py-files unify_spark.zip -m unify_spark.cli validate \
+        --tables clips=/path/clips transcript_map=/path/map.parquet \
+        --metamodel mm.json --out /path/run_out --run-id r42
+
+Locally the module creates its own session (master from SPARK_GRAFT_MASTER
+or local[*]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from unify_spark.session import get_spark
+
+
+def _parse_tables(specs: list[str]):
+    out = {}
+    for s in specs:
+        name, path = s.split("=", 1)
+        out[name] = path
+    return out
+
+
+def cmd_infer_schema(args) -> int:
+    from unify_spark.schema.infer import infer_metamodel
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-infer-schema")
+    tables = {n: read_table(spark, p) for n, p in _parse_tables(args.tables).items()}
+    mm = infer_metamodel(tables)
+    out = mm.to_json()
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.plans import ValidationRunner, audio_suite
+    from unify_spark.plans.compile import compile_constraints
+    from unify_spark.schema.model import Metamodel
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-validate")
+    tables = {n: read_table(spark, p) for n, p in _parse_tables(args.tables).items()}
+    if args.metamodel:
+        with open(args.metamodel) as f:
+            mm = Metamodel.from_json(f.read())
+        constraints = compile_constraints(mm)
+    else:
+        constraints = audio_suite()
+    ctx = ValidationContext(
+        run_id=args.run_id,
+        fail_fast=args.fail_fast,
+        violation_cap=args.violation_cap,
+        payload_cap_ms=args.payload_cap_ms,
+        part_col=args.part_col,
+    )
+    runner = ValidationRunner(spark, args.out, ctx)
+    res = runner.run(tables, constraints, resume=not args.no_resume)
+    report = {
+        "run_id": res.run_id,
+        "passed": res.passed,
+        "total_violations": res.total_violations,
+        "violation_counts": res.violation_counts,
+        "skipped_stages": res.skipped,
+        "wall_sec": round(res.wall_sec, 3),
+    }
+    print(json.dumps(report, indent=2, sort_keys=True))
+    return 0 if res.passed else 1
+
+
+def cmd_profile(args) -> int:
+    from unify_spark.operators import profile_table
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-profile")
+    for name, path in _parse_tables(args.tables).items():
+        df = read_table(spark, path)
+        stats = profile_table(df, name, part_col=args.part_col if args.part_col in df.columns else None)
+        stats.coalesce(1).write.mode("append").parquet(args.out)
+    print(f"profiles written to {args.out}")
+    return 0
+
+
+def cmd_generate_fixture(args) -> int:
+    from unify_spark.fixtures import generate_fixture
+
+    m = generate_fixture(
+        args.out, n_rows=args.rows, n_parts=args.parts, payload_cap_ms=args.payload_cap_ms
+    )
+    print(m.to_json())
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="unify-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("infer-schema", help="profile tables and emit a metamodel JSON")
+    s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_infer_schema)
+
+    s = sub.add_parser("validate", help="run a constraint suite, emit verdicts + audit")
+    s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
+    s.add_argument("--metamodel", help="metamodel JSON; default = built-in audio suite")
+    s.add_argument("--out", required=True)
+    s.add_argument("--run-id", default="run-0")
+    s.add_argument("--part-col", default="part_date")
+    s.add_argument("--fail-fast", action="store_true")
+    s.add_argument("--no-resume", action="store_true")
+    s.add_argument("--violation-cap", type=int, default=1000)
+    s.add_argument("--payload-cap-ms", type=int, default=None)
+    s.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("profile", help="column statistics to parquet")
+    s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--part-col", default="part_date")
+    s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, default=10000)
+    s.add_argument("--parts", type=int, default=8)
+    s.add_argument("--payload-cap-ms", type=int, default=50)
+    s.set_defaults(fn=cmd_generate_fixture)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,6 +81,7 @@ def generate_fixture(
     seed: int = 42,
     payload_cap_ms: int = 50,
     inject: bool = True,
+    files_per_part: int = 1,
 ) -> FixtureManifest:
     """Write clips/, transcript_map/, codec_domain/, reference_decode/
     parquet datasets under ``out_dir`` and return the violation manifest.
@@ -134,32 +135,37 @@ def generate_fixture(
     # -- transcripts (after duration edits so word counts track dur) --------
     transcripts: list[str | None] = [_transcript(int(i), int(dur[i])) for i in idx]
 
-    # -- payload bytes -------------------------------------------------------
-    def payload(i: int) -> bytes | None:
-        n_samples = int(min(int(dur[i]), payload_cap_ms) * int(sr[i]) // 1000)
-        raw = pcm.synth_pcm16(int(i), int(sr[i]), n_samples)
-        return pcm.encode(raw, str(codec[i]))
+    # -- payload bytes (vectorized: grouped by (sr, n_samples, codec)) -------
+    import pandas as _pd
 
-    blobs: list[bytes | None] = [payload(int(i)) for i in idx]
-
-    # reference decode (computed from the CLEAN payloads, before V6/V7 edits —
-    # analogue of the reference's pre-import golden fixtures)
-    ref_rows = []
-    for i in idx:
-        b = blobs[i]
-        try:
-            decoded = pcm.decode(b, str(codec[i])) if str(codec[i]) in pcm.CODEC_DOMAIN \
-                else np.frombuffer(b, dtype="<i2")
-        except ValueError:
-            decoded = np.zeros(0, dtype="<i2")
-        ref_rows.append(
-            (
-                f"clip-{int(i):010d}",
-                hashlib.sha256(decoded.tobytes()).hexdigest(),
-                float(np.sqrt(np.mean(decoded.astype(np.float64) ** 2))) if decoded.size else 0.0,
-                transcripts[i],
-            )
+    n_samples_arr = np.minimum(dur, payload_cap_ms) * sr // 1000
+    blobs: list[bytes | None] = [None] * n_rows
+    ref_sha: list[str] = [""] * n_rows
+    ref_rms: list[float] = [0.0] * n_rows
+    groups = _pd.DataFrame(
+        {"sr": sr, "ns": n_samples_arr, "codec": [str(c) for c in codec]}
+    ).groupby(["sr", "ns", "codec"], sort=False).indices
+    for (sr_v, ns_v, codec_v), g in groups.items():
+        raw = pcm.synth_pcm16_batch(idx[g], int(sr_v), int(ns_v))
+        enc = pcm.encode_batch(raw, codec_v)
+        # reference decode of the CLEAN payloads (pre V6/V7 edits) — analogue
+        # of the reference's pre-import golden fixtures
+        if codec_v in pcm.CODEC_DOMAIN:
+            dec = pcm.decode_batch(enc, codec_v) if ns_v > 0 else raw
+        else:
+            dec = raw  # out-of-domain codecs carry raw pcm
+        rms = (
+            np.sqrt(np.mean(dec.astype(np.float64) ** 2, axis=1))
+            if dec.shape[1]
+            else np.zeros(len(g))
         )
+        for k, i in enumerate(g):
+            blobs[i] = enc[k]
+            ref_sha[i] = hashlib.sha256(dec[k].tobytes()).hexdigest()
+            ref_rms[i] = float(rms[k])
+    ref_rows = [
+        (f"clip-{int(i):010d}", ref_sha[i], ref_rms[i], transcripts[i]) for i in idx
+    ]
 
     if inject:
         for i in v6_null[:4]:
@@ -211,7 +217,9 @@ def generate_fixture(
         ]
     )
     clips_tbl = pa.table(rows, schema=clips_schema)
-    _write_partitioned(clips_tbl, os.path.join(out_dir, "clips"), "part_date")
+    _write_partitioned(
+        clips_tbl, os.path.join(out_dir, "clips"), "part_date", files_per_part
+    )
 
     # -- transcript_map (T2) -------------------------------------------------
     m_tid, m_cid, m_txt, m_src, m_rix = [], [], [], [], []
@@ -288,8 +296,14 @@ def generate_fixture(
     return manifest
 
 
-def _write_partitioned(tbl: pa.Table, path: str, part_col: str) -> None:
-    """Hive-partitioned parquet dataset (deterministic file naming)."""
+def _write_partitioned(
+    tbl: pa.Table, path: str, part_col: str, files_per_part: int = 1
+) -> None:
+    """Hive-partitioned parquet dataset (deterministic file naming).
+
+    ``files_per_part > 1`` splits each partition into several files so scan
+    parallelism isn't capped by partition count (a 1000-executor cluster
+    wants thousands of splits; local[32] wants >= 32)."""
     os.makedirs(path, exist_ok=True)
     parts = tbl.column(part_col).to_pylist()
     order = sorted(set(parts))
@@ -299,4 +313,10 @@ def _write_partitioned(tbl: pa.Table, path: str, part_col: str) -> None:
         sub = tbl.filter(pc.equal(tbl[part_col], p)).drop_columns([part_col])
         d = os.path.join(path, f"{part_col}={p}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, "part-00000.parquet"))
+        n = max(1, files_per_part)
+        chunk = (sub.num_rows + n - 1) // max(n, 1) or 1
+        for j in range(n):
+            piece = sub.slice(j * chunk, chunk)
+            if piece.num_rows == 0 and j > 0:
+                break
+            pq.write_table(piece, os.path.join(d, f"part-{j:05d}.parquet"))

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Exact (hash groupBy), MinHash+LSH (shingle → k minhashes → banded bucket
+join), SimHash (64-bit token-hash majority), and n-gram Jaccard — all built
+from JVM-side column expressions + shuffles Catalyst can reason about. No
+Python UDFs anywhere: hashing is ``xxhash64``, set ops are higher-order
+array functions.
+
+Scale notes per operator are inline — the candidate-pair joins are the part
+that must survive 10^9+ documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from unify_spark.functions.text import tokens
+
+
+def exact_duplicates(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Groups with >1 occurrence of the exact key (hash-aggregate;
+    map-side partial combine keeps the shuffle tiny)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure expression:
+    split → sequence → transform → slice/join)."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)  # 1-based slice positions; empty when k=0
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def _minhash_sig(sh: Column, num_hashes: int) -> list[Column]:
+    # k independent hash families via seed-mixed xxhash64; min over shingles
+    return [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    sh = shingles(text_col, shingle_n)
+    return df.select(F.col(id_col), *_minhash_sig(sh, num_hashes)).where(
+        F.col(f"mh_0").isNotNull()
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing any band bucket.
+
+    Scale design: the self-join is on (band_id, band_hash) — uniformly
+    distributed 64-bit buckets, so the shuffle partitions evenly; hot buckets
+    (boilerplate docs) are the skew risk and AQE skew-join handles them.
+    Output is (id_a < id_b) candidate pairs with the estimated Jaccard from
+    full-signature agreement.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    banded = sig.select(
+        id_col,
+        F.array(*[F.col(c) for c in mh_cols]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(len(mh_cols))).alias("est_jaccard"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash, per-bit majority
+    vote via 64 conditional sums (one hash-aggregate; no UDF)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # skip the sign bit to stay in positive int64
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: documents sharing any of the 64/band_bits simhash
+    bands (Hamming-distance blocking), with exact Hamming distance attached
+    via bit_count(xor)."""
+    sh = simhash(df, id_col, text_col)
+    n_bands = 63 // band_bits
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
+    )
+    return (
+        left.join(right, on=["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 10000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    Classic explode→join-on-shingle→count plan: |A∩B| from the join,
+    |A∪B| = |A|+|B|−|A∩B|. Scale guard: shingles occurring in more than
+    ``max_shingle_freq`` docs are dropped before the self-join (they
+    contribute candidates quadratically but little Jaccard mass) — the
+    standard hot-token cap; set None to disable.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f")).filter(
+            F.col("f") > max_shingle_freq
+        )
+        sh = sh.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,89 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen; zero Python in
+the hot path): token counting, quality features, n-gram language ID,
+document fingerprinting. Semantics deliberately chosen to be expressible in
+ANSI SQL so DuckDB can oracle-check them (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic;
+# deterministic, dependency-free (a real deployment plugs fastText etc. into
+# the same column slot)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "que"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (matches DuckDB regexp_split_to_array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Normalized document fingerprint: md5 of lowercase, whitespace-collapsed
+    text (rolling-hash slot; md5 keeps it SQL-oracle-checkable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), _WS, " "))
+
+
+def _hit_filter(words: tuple[str, ...]):
+    # NB: pyspark higher-order lambdas must take exactly the lambda arity —
+    # extra default params would be bound to Columns — so close over words.
+    return lambda t: F.lower(t).isin(*words)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, _hit_filter(stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stopword_ratio(col, LANG_STOPWORDS["en"]),
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when nothing matches. Pure Column expression."""
+    toks = tokens(col)
+    scored = []
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, _hit_filter(words)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = quality_features(text_col)
+    out = df
+    for name, expr in feats.items():
+        out = out.withColumn(name, expr)
+    return out

@@ -38,46 +38,77 @@ _DECODE_SCHEMA = (
 )
 
 
+def _parse_index(cid: str) -> int:
+    try:
+        return int(str(cid).rsplit("-", 1)[-1])
+    except ValueError:
+        return 0
+
+
 def _decode_batch(pdf: pd.DataFrame, payload_cap_ms: int | None) -> pd.DataFrame:
-    out = {
-        "clip_id": [], "part": [], "decode_ok": [], "n_frames": [],
-        "expected_frames": [], "snr_db": [], "pcm_sha256": [], "reason": [],
-    }
-    for cid, blob, sr, dur, codec, part in zip(
-        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"], pdf["part"]
-    ):
-        # disjointness: null bytes → RequiredConstraint; bad codec → Domain;
-        # non-positive duration → Range. Skip here.
-        if blob is None or codec not in pcm.CODEC_DOMAIN or dur is None or dur <= 0:
-            continue
-        eff_ms = int(dur) if payload_cap_ms is None else min(int(dur), payload_cap_ms)
-        expected_frames = eff_ms * int(sr) // 1000
-        out["clip_id"].append(cid)
-        out["part"].append(part)
-        out["expected_frames"].append(expected_frames)
+    """Vectorized per-batch decode: rows are grouped by (codec, byte length,
+    sr, expected frames) — within a group decode, reference synthesis, and
+    SNR are single 2-D numpy operations. Python-per-row work is only the
+    grouping keys and sha256 (C speed). Bit-identical to the scalar path
+    (pinned by the batch-equivalence tests in tests/test_audio_codecs.py)."""
+    # disjointness: null bytes -> RequiredConstraint; bad codec -> Domain;
+    # non-positive duration -> Range. Skip those rows here.
+    keep = (
+        pdf["bytes"].notna()
+        & pdf["codec"].isin(pcm.CODEC_DOMAIN)
+        & pdf["dur_ms"].notna()
+        & (pdf["dur_ms"] > 0)
+    )
+    sub = pdf[keep]
+    m = len(sub)
+    cids = sub["clip_id"].to_numpy()
+    parts = sub["part"].to_numpy()
+    idx = np.array([_parse_index(c) for c in cids], dtype=np.int64)
+    sr = sub["sr_hz"].to_numpy(dtype=np.int64)
+    dur = sub["dur_ms"].to_numpy(dtype=np.int64)
+    eff = dur if payload_cap_ms is None else np.minimum(dur, payload_cap_ms)
+    expected = eff * sr // 1000
+    blobs = sub["bytes"].tolist()
+    blen = np.array([len(b) for b in blobs], dtype=np.int64)
+    codecs = sub["codec"].to_numpy()
+
+    decode_ok = np.zeros(m, dtype=bool)
+    n_frames = np.zeros(m, dtype=np.int64)
+    snr = np.full(m, -1e9, dtype=np.float64)
+    shas = np.full(m, "", dtype=object)
+    reasons = np.full(m, "", dtype=object)
+
+    groups = pd.DataFrame(
+        {"codec": codecs, "blen": blen, "sr": sr, "exp": expected}
+    ).groupby(["codec", "blen", "sr", "exp"], sort=False).indices
+    for (codec, bl, sr_v, exp_v), g in groups.items():
+        g_blobs = [bytes(blobs[i]) for i in g]
         try:
-            decoded = pcm.decode(bytes(blob), str(codec))
+            dec = pcm.decode_batch(g_blobs, str(codec))
         except ValueError as e:
-            out["decode_ok"].append(False)
-            out["n_frames"].append(0)
-            out["snr_db"].append(float("-inf"))
-            out["pcm_sha256"].append("")
-            out["reason"].append(f"decode error: {e}")
+            reasons[g] = f"decode error: {e}"
             continue
-        # deterministic reference signal (the "reference decoder" oracle);
-        # clip index is encoded in the id suffix
-        try:
-            index = int(str(cid).rsplit("-", 1)[-1])
-        except ValueError:
-            index = 0
-        ref = pcm.synth_pcm16(index, int(sr), expected_frames)
-        snr = pcm.snr_db(ref, decoded)
-        out["decode_ok"].append(True)
-        out["n_frames"].append(int(decoded.size))
-        out["snr_db"].append(snr if np.isfinite(snr) else (1e9 if snr > 0 else -1e9))
-        out["pcm_sha256"].append(hashlib.sha256(decoded.tobytes()).hexdigest())
-        out["reason"].append("")
-    return pd.DataFrame(out)
+        decode_ok[g] = True
+        n_frames[g] = dec.shape[1]
+        shas[g] = [hashlib.sha256(row.tobytes()).hexdigest() for row in dec]
+        if dec.shape[1] == exp_v and exp_v > 0:
+            ref = pcm.synth_pcm16_batch(idx[g], int(sr_v), int(exp_v))
+            s = pcm.snr_db_batch(ref, dec)
+            snr[g] = np.clip(np.nan_to_num(s, posinf=1e9, neginf=-1e9), -1e9, 1e9)
+        # length mismatch (truncation) keeps snr at -1e9 -> violation
+
+    return pd.DataFrame(
+        {
+            "clip_id": cids,
+            "part": parts,
+            "decode_ok": decode_ok,
+            "n_frames": n_frames,
+            "expected_frames": expected,
+            "snr_db": snr,
+            "pcm_sha256": shas.astype(str),
+            "reason": reasons.astype(str),
+        }
+    )
 
 
 class AudioPayloadConstraint(Constraint):

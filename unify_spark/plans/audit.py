@@ -56,40 +56,62 @@ class AuditLog:
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
 
     def append(self, rows: list[dict]) -> None:
+        """Driver-side append via pyarrow: the audit table is metadata-sized
+        (rows ~ constraints × partitions), so writing it through a Spark job
+        would cost more scheduling than data. The file layout stays a plain
+        parquet directory Spark reads back for verdicts/resume. With an
+        Iceberg catalog this becomes a MERGE/append on the audit table."""
         if not rows:
             return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         batch = uuid.uuid4().hex
         now = time.time()
-        data = [
-            (
-                r["run_id"],
-                r["constraint"],
-                r.get("part"),
-                r["status"],
-                r.get("violation_count"),
-                r.get("rows_checked"),
-                r.get("wall_sec"),
-                now,
-                batch,
-            )
-            for r in rows
-        ]
-        self.spark.createDataFrame(data, AUDIT_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        tbl = pa.table(
+            {
+                "run_id": [r["run_id"] for r in rows],
+                "constraint": [r["constraint"] for r in rows],
+                "part": [r.get("part") for r in rows],
+                "status": [r["status"] for r in rows],
+                "violation_count": [r.get("violation_count") for r in rows],
+                "rows_checked": [r.get("rows_checked") for r in rows],
+                "wall_sec": [r.get("wall_sec") for r in rows],
+                "ts": [now] * len(rows),
+                "batch_id": [batch] * len(rows),
+            },
+            schema=pa.schema(
+                [
+                    ("run_id", pa.string()),
+                    ("constraint", pa.string()),
+                    ("part", pa.string()),
+                    ("status", pa.string()),
+                    ("violation_count", pa.int64()),
+                    ("rows_checked", pa.int64()),
+                    ("wall_sec", pa.float64()),
+                    ("ts", pa.float64()),
+                    ("batch_id", pa.string()),
+                ]
+            ),
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(self.path, f"audit-{batch}.parquet"))
 
     def completed_constraints(self, run_id: str) -> set[str]:
-        """Stage keys already finished for this run (the resume filter)."""
+        """Stage keys already finished for this run (the resume filter) —
+        read driver-side (audit is tiny; no Spark job needed)."""
         if not self._exists():
             return set()
-        rows = (
-            self.read()
-            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-            .select("constraint")
-            .distinct()
-            .collect()
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(self.path, format="parquet").to_table(
+            columns=["run_id", "constraint", "status"]
         )
-        return {r["constraint"] for r in rows}
+        out = set()
+        for rid, c, s in zip(*(tbl.column(c).to_pylist() for c in tbl.column_names)):
+            if rid == run_id and s == "done":
+                out.add(c)
+        return out
 
     def verdicts(self, run_id: str) -> DataFrame:
         """Per-partition pass/fail matrix for a run."""

@@ -84,8 +84,10 @@ class ValidationRunner:
             t0 = time.time()
             vio = c.violations(tables, self.ctx)
 
-            # one aggregation gives the per-partition counts AND the total —
-            # violations themselves only materialize up to the cap
+            # cache the violation rows so the count aggregation and the
+            # capped write share ONE computation of the (possibly expensive)
+            # constraint plan
+            vio = vio.persist()
             per_part = (
                 vio.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
             )
@@ -99,9 +101,10 @@ class ValidationRunner:
 
             if total:
                 capped = vio.limit(self.ctx.violation_cap)
-                capped.write.mode("overwrite").parquet(
+                capped.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(self.out_dir, "violations", _safe(c.name))
                 )
+            vio.unpersist()
 
             if c.table not in universes:
                 universes[c.table] = self._partition_universe(tables, c.table)
