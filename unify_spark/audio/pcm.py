@@ -70,35 +70,103 @@ def _noise_vec(index: int, n: int) -> np.ndarray:
     return (out >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
 
 
-def _noise_vec_2d(indices: np.ndarray, n: int) -> np.ndarray:
+_lcg_step_tables: dict[int, tuple[np.ndarray, np.ndarray, np.uint64, np.uint64]] = {}
+
+
+def _lcg_tables(step: int):
+    """Power/prefix tables for a decimated LCG: sampling every ``step``-th
+    element of the base stream is itself an LCG with A_s = a^step and
+    C_s = c * sum_{t<step} a^t (the jump-ahead closed form), so strided noise
+    is exact, not approximated."""
+    if step in _lcg_step_tables:
+        return _lcg_step_tables[step]
+    with np.errstate(over="ignore"):
+        a_s = np.uint64(1)
+        c_sum = np.uint64(0)
+        for _ in range(step):
+            c_sum = c_sum + a_s
+            a_s = a_s * _LCG_A
+        c_s = _LCG_C * c_sum
+        powers = np.empty(_LCG_STRIDE, dtype=np.uint64)
+        acc = np.uint64(1)
+        for j in range(_LCG_STRIDE):
+            powers[j] = acc
+            acc = acc * a_s
+        csum = np.cumsum(powers * c_s, dtype=np.uint64)
+    _lcg_step_tables[step] = (powers, csum, a_s, c_s)
+    return _lcg_step_tables[step]
+
+
+def _noise_vec_2d(indices: np.ndarray, n: int, step: int = 1) -> np.ndarray:
     """Batched LCG noise: same stream per row as ``_noise_vec`` but computed
     for many rows at once — out[i, j] = a^j * x1_i + c * sum_{t<j} a^t,
-    fully vectorized in wrapping uint64 (blockwise over j)."""
+    fully vectorized in wrapping uint64 (blockwise over j). ``step > 1``
+    returns every step-th element of the base stream (exact decimation via
+    the jump-ahead form), for strided SNR estimation."""
     m = indices.shape[0]
-    out = np.empty((m, n), dtype=np.uint64)
+    n_out = (n + step - 1) // step if step > 1 else n
+    powers, csum, _a_s, _c_s = _lcg_tables(step) if step > 1 else (
+        _lcg_powers, _lcg_csum, _LCG_A, _LCG_C,
+    )
+    out = np.empty((m, n_out), dtype=np.uint64)
     with np.errstate(over="ignore"):
         x0 = ((indices.astype(np.uint64) * np.uint64(2654435761)) + np.uint64(42))
-        x = x0 * _LCG_A + _LCG_C  # x_1 per row
+        x = x0 * _LCG_A + _LCG_C  # x_1 per row (stream head is step-invariant)
         pos = 0
-        while pos < n:
-            k = min(_LCG_STRIDE, n - pos)
-            prefix = np.concatenate(([np.uint64(0)], _lcg_csum[: k - 1]))
-            out[:, pos : pos + k] = np.outer(x, _lcg_powers[:k]) + prefix[None, :]
-            x = x * (_lcg_powers[k - 1] * _LCG_A) + _lcg_csum[k - 1]
+        while pos < n_out:
+            k = min(_LCG_STRIDE, n_out - pos)
+            prefix = np.concatenate(([np.uint64(0)], csum[: k - 1]))
+            out[:, pos : pos + k] = np.outer(x, powers[:k]) + prefix[None, :]
+            x = x * (powers[k - 1] * _a_s) + csum[k - 1]
             pos += k
     return (out >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
 
 
-def synth_pcm16_batch(indices: np.ndarray, sr_hz: int, n_samples: int) -> np.ndarray:
+def synth_pcm16_batch(
+    indices: np.ndarray, sr_hz: int, n_samples: int, row_chunk: int = 256
+) -> np.ndarray:
     """Vectorized reference synthesis for many clips sharing (sr, length):
-    row i is bit-identical to ``synth_pcm16(indices[i], sr_hz, n_samples)``."""
+    row i is bit-identical to ``synth_pcm16(indices[i], sr_hz, n_samples)``.
+
+    Rows are processed in chunks of ``row_chunk`` so the float64
+    intermediates stay cache-sized: with 10k-row Arrow batches a single 2-D
+    op would allocate ~200 MB × several temporaries PER PYTHON WORKER, which
+    saturates memory bandwidth at 32 concurrent workers (measured: local[32]
+    slower than local[8]); 256×2400 chunks keep peak <20 MB."""
+    m = indices.shape[0]
     if n_samples <= 0:
-        return np.zeros((indices.shape[0], 0), dtype="<i2")
-    freqs = 110.0 + (indices % 880).astype(np.float64)
+        return np.zeros((m, 0), dtype="<i2")
+    out = np.empty((m, n_samples), dtype="<i2")
     t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
-    sig = 0.5 * np.sin(2.0 * np.pi * np.outer(freqs, t))
-    sig += 0.01 * _noise_vec_2d(indices, n_samples)
-    return np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
+    for s in range(0, m, row_chunk):
+        e = min(s + row_chunk, m)
+        freqs = 110.0 + (indices[s:e] % 880).astype(np.float64)
+        sig = 0.5 * np.sin(2.0 * np.pi * np.outer(freqs, t))
+        sig += 0.01 * _noise_vec_2d(indices[s:e], n_samples)
+        out[s:e] = np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
+    return out
+
+
+def synth_pcm16_strided_batch(
+    indices: np.ndarray, sr_hz: int, n_samples: int, stride: int, row_chunk: int = 256
+) -> np.ndarray:
+    """Every ``stride``-th sample of the reference signal, bit-identical to
+    ``synth_pcm16_batch(...)[:, ::stride]`` but computing only those samples
+    (1/stride the sin + noise work and memory traffic) — used for strided SNR
+    estimation in the payload constraint."""
+    m = indices.shape[0]
+    if n_samples <= 0:
+        return np.zeros((m, 0), dtype="<i2")
+    n_out = (n_samples + stride - 1) // stride
+    out = np.empty((m, n_out), dtype="<i2")
+    t = (np.arange(n_out, dtype=np.float64) * stride) / float(sr_hz)
+    for s in range(0, m, row_chunk):
+        e = min(s + row_chunk, m)
+        freqs = 110.0 + (indices[s:e] % 880).astype(np.float64)
+        sig = 0.5 * np.sin(2.0 * np.pi * np.outer(freqs, t))
+        sig += 0.01 * _noise_vec_2d(indices[s:e], n_samples, step=stride)
+        out[s:e] = np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
+    return out
 
 
 def synth_pcm16(index: int, sr_hz: int, n_samples: int) -> np.ndarray:

@@ -50,6 +50,24 @@ def _transcript(i: int, dur_ms: int) -> str:
     return " ".join(_WORDLIST[_h(i, k + 1) % 512] for k in range(n_words))
 
 
+_MAX_WORDS = 60
+
+
+def _transcripts_vec(idx: np.ndarray, dur: np.ndarray) -> list[str]:
+    """Vectorized batch of ``_transcript`` (identical output): the 2-D word
+    index matrix is one numpy expression; only the joins stay in Python."""
+    n_words = np.clip(dur // 400, 1, _MAX_WORDS).astype(np.int64)
+    k = np.arange(1, _MAX_WORDS + 1, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        w = (
+            (idx[:, None] + k[None, :] * 1_000_003) * 2654435761 & 0xFFFFFFFF
+        ) % 512
+    wl = _WORDLIST
+    return [
+        " ".join(wl[j] for j in row[:n]) for row, n in zip(w, n_words)
+    ]
+
+
 @dataclass
 class FixtureManifest:
     """Expected violation keys per constraint id (the golden answer)."""
@@ -96,11 +114,14 @@ def generate_fixture(
     # -- column draws (vectorized) ------------------------------------------
     dur = np.exp(rng.normal(np.log(3000.0), 0.6, size=n_rows))
     dur = np.clip(dur, DUR_MIN_MS, DUR_MAX_MS).astype(np.int64)
-    h_sr = (idx * 2654435761 + 11 * 1_000_003 * 2654435761) & 0xFFFFFFFF
-    sr = np.array([_SR_BY_DECILE[v % 10] for v in h_sr], dtype=np.int64)
-    h_codec = (idx * 2654435761 + 12 * 1_000_003 * 2654435761) & 0xFFFFFFFF
-    codec = np.array([_CODEC_BY_DECILE[v % 10] for v in h_codec], dtype=object)
-    part = np.array([_part_date(int(i), n_parts) for i in idx], dtype=object)
+    with np.errstate(over="ignore"):
+        h_sr = (idx * 2654435761 + 11 * 1_000_003 * 2654435761) & 0xFFFFFFFF
+        h_codec = (idx * 2654435761 + 12 * 1_000_003 * 2654435761) & 0xFFFFFFFF
+        h_part = ((idx + 9 * 1_000_003) * 2654435761) & 0xFFFFFFFF
+    sr = np.array(_SR_BY_DECILE, dtype=np.int64)[h_sr % 10]
+    codec = np.array(_CODEC_BY_DECILE, dtype=object)[h_codec % 10]
+    part_names = np.array([f"2025-01-{1 + p:02d}" for p in range(n_parts)], dtype=object)
+    part = part_names[h_part % n_parts]
 
     manifest = FixtureManifest(n_rows=n_rows, n_parts=n_parts, payload_cap_ms=payload_cap_ms)
 
@@ -133,7 +154,7 @@ def generate_fixture(
         manifest.drift_part = drift_part
 
     # -- transcripts (after duration edits so word counts track dur) --------
-    transcripts: list[str | None] = [_transcript(int(i), int(dur[i])) for i in idx]
+    transcripts: list[str | None] = _transcripts_vec(idx, dur)
 
     # -- payload bytes (vectorized: grouped by (sr, n_samples, codec)) -------
     import pandas as _pd
@@ -319,4 +340,8 @@ def _write_partitioned(
             piece = sub.slice(j * chunk, chunk)
             if piece.num_rows == 0 and j > 0:
                 break
-            pq.write_table(piece, os.path.join(d, f"part-{j:05d}.parquet"))
+            # small row groups keep parquet files splittable: Spark's scan
+            # parallelism is bounded by row-group count, not file count
+            pq.write_table(
+                piece, os.path.join(d, f"part-{j:05d}.parquet"), row_group_size=8192
+            )

@@ -171,6 +171,15 @@ class DomainConstraint(Constraint):
             part=ctx.part_col if ctx.part_col in df.columns else None,
         )
 
+    def row_predicates(self, ctx):
+        """Fusable row-local form (literal domains only; dim-table domains
+        need their broadcast join and stay a separate branch)."""
+        if self.allowed is None:
+            return None
+        c = F.col(self.column)
+        fail = c.isNotNull() & ~c.isin(self.allowed)
+        return [(fail, self.column, c, "in {" + ",".join(map(str, self.allowed)) + "}")]
+
 
 class RangeConstraint(Constraint):
     """Numeric range / allowed-set predicate.
@@ -223,6 +232,26 @@ class RangeConstraint(Constraint):
             part=ctx.part_col if ctx.part_col in df.columns else None,
         )
 
+    def _ok_expr(self):
+        c = F.col(self.column)
+        ok = F.lit(True)
+        desc = []
+        if self.allowed_set is not None:
+            ok = ok & c.isin(self.allowed_set)
+            desc.append("in {" + ",".join(map(str, self.allowed_set)) + "}")
+        if self.min_value is not None:
+            ok = ok & (c > self.min_value if self.min_exclusive else c >= self.min_value)
+            desc.append((">" if self.min_exclusive else ">=") + str(self.min_value))
+        if self.max_value is not None:
+            ok = ok & (c <= self.max_value)
+            desc.append("<=" + str(self.max_value))
+        return ok, " and ".join(desc)
+
+    def row_predicates(self, ctx):
+        c = F.col(self.column)
+        ok, desc = self._ok_expr()
+        return [(c.isNotNull() & ~ok, self.column, c, desc)]
+
 
 class RequiredConstraint(Constraint):
     """Required (non-null) columns — one violation row per missing cell.
@@ -265,6 +294,16 @@ class RequiredConstraint(Constraint):
             out = out.unionByName(p)
         return out
 
+    def row_predicates(self, ctx):
+        preds = []
+        for col in self.columns:
+            c = F.col(col)
+            is_missing = c.isNull()
+            # NB: na-token augmentation needs dtypes; the fused bundle applies
+            # plain null checks — normalize_na upstream handles token NAs
+            preds.append((is_missing, col, F.lit("null"), "non-null"))
+        return preds
+
 
 class CompositeIdConstraint(Constraint):
     """Synthetic/composite id must equal the join of its components.
@@ -297,6 +336,12 @@ class CompositeIdConstraint(Constraint):
             part=ctx.part_col if ctx.part_col in df.columns else None,
         )
 
+    def row_predicates(self, ctx):
+        expected = F.concat_ws(self.sep, *[F.col(c).cast("string") for c in self.components])
+        fail = F.col(self.id_col).isNotNull() & (F.col(self.id_col) != expected)
+        return [(fail, self.id_col, F.col(self.id_col),
+                 f"concat_ws('{self.sep}', {', '.join(self.components)})")]
+
 
 class EnumMappingConstraint(Constraint):
     """Value remapping where an unresolved input value is an ERROR, not a
@@ -328,10 +373,56 @@ class EnumMappingConstraint(Constraint):
             part=ctx.part_col if ctx.part_col in df.columns else None,
         )
 
+    def row_predicates(self, ctx):
+        c = F.col(self.column)
+        fail = c.isNotNull() & ~c.isin(list(self.mapping.keys()))
+        return [(fail, self.column, c, "mappable value")]
+
     def apply_mapping(self, df: DataFrame) -> DataFrame:
         """The transform side: resolved values are rewritten in place."""
         mapping_expr = F.create_map(*[F.lit(x) for kv in self.mapping.items() for x in kv])
         return df.withColumn(self.column, mapping_expr[F.col(self.column)])
+
+
+class UpsertConflictConstraint(Constraint):
+    """Conflicting-duplicate detection: rows sharing a unique key whose OTHER
+    attributes differ — the would-be silent upsert overwrite.
+
+    Reference: upsert coordination crosscheck — for each incoming unique
+    attr/value pair, diff the attribute sets and report differing upserts
+    (src/com/vendekagonlabs/unify/import/upsert_coordination.clj:25-105).
+
+    Plan: count distinct value-structs per key in one aggregation (only the
+    compared columns shuffle, never payloads unless listed), keys with >1
+    distinct struct are conflicts.
+    """
+
+    def __init__(self, table: str, key_cols: list[str], compare_cols: list[str]):
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.compare_cols = list(compare_cols)
+        self.name = f"upsert_conflict:{table}.{'+'.join(key_cols)}"
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        val = F.struct(*[F.col(c) for c in self.compare_cols])
+        conflicts = (
+            df.select(*self.key_cols, val.alias("_v"))
+            .groupBy(*self.key_cols)
+            .agg(F.count_distinct(F.col("_v")).alias("n_variants"))
+            .filter(F.col("n_variants") > 1)
+        )
+        bad = df.join(conflicts, on=self.key_cols, how="inner")
+        return make_violations(
+            bad,
+            constraint=self.name,
+            table=self.table,
+            key=F.concat_ws("|", *[F.col(c) for c in self.key_cols]),
+            column="+".join(self.compare_cols),
+            observed=F.col("n_variants"),
+            expected="single consistent value per key",
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
 
 
 class EqualityAcrossTablesConstraint(Constraint):

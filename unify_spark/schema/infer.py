@@ -44,8 +44,14 @@ def infer_kind_schema(
     # id — the compiled UniquenessConstraint is what then reports the dups
     id_distinct_tolerance: float = 0.97,
     partition_attr: str | None = None,
+    exclude_from_constraints: tuple[str, ...] = ("part_date", "_source_file", "source_file"),
 ) -> KindSchema:
-    """Profile one table and propose its KindSchema."""
+    """Profile one table and propose its KindSchema.
+
+    ``exclude_from_constraints`` names partition/lineage columns whose low
+    cardinality is structural, not semantic — they are profiled but never
+    proposed as enum domains (a partition-date domain constraint would be
+    noise, not a contract)."""
     exprs = [F.count(F.lit(1)).alias("__n")]
     for name, dtype in df.dtypes:
         base = dtype.split("(")[0]
@@ -85,7 +91,10 @@ def infer_kind_schema(
                 if base == "string" or name.endswith("_id") or name.endswith("key"):
                     id_candidates.append((name, ratio))
             elif base == "string" and (
-                dist <= enum_max_distinct and ratio <= enum_max_ratio
+                dist <= enum_max_distinct
+                and ratio <= enum_max_ratio
+                and name != partition_attr
+                and name not in exclude_from_constraints
             ):
                 # low-cardinality string → enum; capture the domain exactly
                 domain = [

@@ -23,7 +23,11 @@ _BASE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # keep Arrow batches a few MB when wide binary columns cross the JVM→
+    # Python boundary: 10k-row batches of ~2.4 KB payloads measured 4-15x
+    # SLOWER at 32 concurrent workers (allocation pressure); 2048 rows keeps
+    # per-batch buffers ~5 MB and restores linear scaling
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "128m",
     # fixture tables are hive-partitioned by part_date=YYYY-MM-DD; keep the
     # partition value a string (matches the declared schema) instead of date

@@ -1,0 +1,110 @@
+"""Structured Streaming validation.
+
+The reference is strictly batch (SURVEY §2.9) — its core.async pipelining is
+partition parallelism, not streaming. This module is the Spark-native
+extension the north architecture wants anyway: validate clips as they ARRIVE.
+
+Two modes:
+
+1. ``validate_stream`` — row-local constraints (domain/range/required/
+   composite-id) compiled into one ``CASE``-style violation expression over
+   the stream; pure narrow transform, so it composes with watermarks and any
+   sink, and never blocks on state.
+2. ``validate_stream_foreach_batch`` — the FULL batch suite (joins, payload,
+   uniqueness-within-batch) via ``foreachBatch``: each micro-batch is handed
+   to the ValidationRunner with ``run_id = <run>@<batch_id>``, reusing the
+   audit/resume machinery for exactly-once batch bookkeeping (the streaming
+   analogue of the reference's per-tx resume set,
+   src/com/vendekagonlabs/unify/db/import_coordination.clj:47-84).
+
+Cross-batch uniqueness at 10^12 scale is deliberately NOT a streaming join —
+dedup state that size belongs in the batch reconciliation pass (run nightly
+over the Iceberg table), which is how the audit table composes the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from unify_spark.operators.base import Constraint, ValidationContext
+from unify_spark.operators.constraints import (
+    CompositeIdConstraint,
+    DomainConstraint,
+    RangeConstraint,
+    RequiredConstraint,
+)
+
+_ROW_LOCAL = (DomainConstraint, RangeConstraint, RequiredConstraint, CompositeIdConstraint)
+
+
+def row_level_violation_expr(constraints: list[Constraint]) -> F.Column:
+    """Array of failed-constraint names per row, from the row-local subset."""
+    checks = []
+    for c in constraints:
+        if isinstance(c, DomainConstraint) and c.allowed is not None:
+            ok = F.col(c.column).isNull() | F.col(c.column).isin(c.allowed)
+        elif isinstance(c, RangeConstraint):
+            col = F.col(c.column)
+            ok = F.lit(True)
+            if c.allowed_set is not None:
+                ok = ok & col.isin(c.allowed_set)
+            if c.min_value is not None:
+                ok = ok & (col > c.min_value if c.min_exclusive else col >= c.min_value)
+            if c.max_value is not None:
+                ok = ok & (col <= c.max_value)
+            ok = col.isNull() | ok
+        elif isinstance(c, RequiredConstraint):
+            ok = F.lit(True)
+            for col in c.columns:
+                ok = ok & F.col(col).isNotNull()
+        elif isinstance(c, CompositeIdConstraint):
+            expected = F.concat_ws(c.sep, *[F.col(x).cast("string") for x in c.components])
+            ok = F.col(c.id_col).isNull() | (F.col(c.id_col) == expected)
+        else:
+            continue
+        checks.append(F.when(~ok, F.lit(c.name)))
+    return F.array_compact(F.array(*checks)) if checks else F.array().cast("array<string>")
+
+
+def validate_stream(stream_df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Stream → stream with ``violations: array<string>`` appended; filter
+    ``size(violations) > 0`` for the violation stream, ``= 0`` for clean."""
+    return stream_df.withColumn("violations", row_level_violation_expr(constraints))
+
+
+def validate_stream_foreach_batch(
+    stream_df: DataFrame,
+    constraints: list[Constraint],
+    tables: dict[str, DataFrame],
+    stream_table_name: str,
+    out_dir: str,
+    ctx: ValidationContext | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Run the full suite per micro-batch. Returns the started query."""
+    from unify_spark.plans.runner import ValidationRunner
+
+    base_ctx = ctx or ValidationContext()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bctx = ValidationContext(
+            run_id=f"{base_ctx.run_id}@{batch_id}",
+            violation_cap=base_ctx.violation_cap,
+            fail_fast=base_ctx.fail_fast,
+            payload_cap_ms=base_ctx.payload_cap_ms,
+            part_col=base_ctx.part_col,
+        )
+        runner = ValidationRunner(batch_df.sparkSession, out_dir, bctx)
+        batch_tables = dict(tables)
+        batch_tables[stream_table_name] = batch_df
+        runner.run(batch_tables, constraints, resume=True)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
