@@ -270,6 +270,42 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q_uid_synthesis(spark: SparkSession, sf: str) -> DataFrame:
+    """Identity model (SURVEY §1.4): context-scoped UID path join + md5
+    hashing (unify's 256-char tuple workaround, tx_data.clj:67-85)."""
+    from unify_spark.schema.model import context_uid, hashed_uid
+
+    cust = _t(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        context_uid(F.col("c_name"), F.col("c_nationkey").cast("string")).alias("uid"),
+        F.md5(F.concat_ws("|:~", F.col("c_name"), F.col("c_nationkey").cast("string"))).alias("uid_md5"),
+    )
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Molten/melt operator (SURVEY §2.2, data.clj:537-553) via unpivot."""
+    from unify_spark.operators.transforms import molten
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    out = molten(li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "variable", F.round("value", 6).alias("value")
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct-count stats (the HLL slot, oracle-checkable exactly)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -305,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_candidates": q_simhash_candidates,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_lsh_ann": q_lsh_ann,
+        "q_uid_synthesis": q_uid_synthesis,
+        "q_unpivot_lineitem": q_unpivot_lineitem,
+        "q_distinct_counts": q_distinct_counts,
     }
 
 
@@ -417,6 +456,26 @@ def oracle_sql() -> dict[str, str]:
                          AS cos_sim
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.35
+        """,
+        "q_uid_synthesis": """
+            SELECT c_custkey,
+                   concat_ws('|:~', c_name, CAST(c_nationkey AS VARCHAR)) AS uid,
+                   md5(concat_ws('|:~', c_name, CAST(c_nationkey AS VARCHAR))) AS uid_md5
+            FROM customer
+        """,
+        "q_unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, variable, ROUND(value, 6) AS value
+            FROM (
+              UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                       FROM lineitem)
+              ON l_quantity, l_discount, l_tax INTO NAME variable VALUE value
+            )
+        """,
+        "q_distinct_counts": """
+            SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
         """,
         "q_embed_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) — an upgrade over the reference's
+purely example-based strategy (SURVEY §5): codec round-trips, SNR floors,
+t-digest quantile ordering, LCG decimation."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unify_spark.audio import pcm
+from unify_spark.operators import tdigest as td
+
+int16s = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=4000
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(int16s)
+def test_lossless_roundtrip_any_signal(vals):
+    x = np.array(vals, dtype="<i2")
+    for codec in ("pcm_s16le", "flac"):
+        assert (pcm.decode(pcm.encode(x, codec), codec) == x).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(int16s)
+def test_lossy_roundtrip_bounded_error(vals):
+    x = np.array(vals, dtype="<i2")
+    # mu-law worst-case quantization step at full scale is < 2048;
+    # the 12-bit stand-in's step is 16
+    u = pcm.decode(pcm.encode(x, "ulaw"), "ulaw")
+    assert np.abs(u.astype(np.int32) - x.astype(np.int32)).max() <= 2048
+    m = pcm.decode(pcm.encode(x, "mp3"), "mp3")
+    assert np.abs(m.astype(np.int32) - x.astype(np.int32)).max() <= 16
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.sampled_from([8000, 16000, 48000]),
+    st.integers(min_value=1, max_value=3000),
+    st.sampled_from([2, 3, 4, 7]),
+)
+def test_strided_synth_is_exact_decimation(index, sr, n, stride):
+    idx = np.array([index])
+    full = pcm.synth_pcm16_batch(idx, sr, n)
+    strided = pcm.synth_pcm16_strided_batch(idx, sr, n, stride)
+    assert (strided == full[:, ::stride]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=10, max_size=5000)
+)
+def test_tdigest_quantiles_monotone_and_bounded(vals):
+    v = np.array(vals)
+    d = td.build(v)
+    qs = [td.quantile(d, q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)]
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))  # monotone
+    assert v.min() - 1e-9 <= qs[0] and qs[-1] <= v.max() + 1e-9  # bounded

@@ -1,0 +1,69 @@
+"""Sources (lineage CSV, NA normalization, column contract) and sinks
+(idempotent dim upsert, run retraction)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.sources import (
+    check_required_columns,
+    normalize_na,
+    read_csv_with_lineage,
+)
+from unify_spark.sources.readers import MissingColumnsError
+from unify_spark.sources.sinks import retract_run, upsert_dim
+
+
+def test_csv_lineage_and_trim(spark, tmp_path):
+    p = tmp_path / "in.tsv"
+    p.write_text("id\tname\n1\t  alice  \n2\tbob\n")
+    df = read_csv_with_lineage(spark, str(p), sep="\t")
+    rows = df.orderBy("id").collect()
+    assert rows[0]["name"] == "alice"  # whitespace trim (engine.clj:60-75)
+    assert rows[0]["_source_file"].endswith("in.tsv")
+    assert rows[0]["_row_index"] != rows[1]["_row_index"]
+
+
+def test_column_contract(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    check_required_columns(df, ["a"])
+    with pytest.raises(MissingColumnsError) as e:
+        check_required_columns(df, ["a", "missing_col"], source="test.tsv")
+    assert "missing_col" in str(e.value) and "test.tsv" in str(e.value)
+
+
+def test_normalize_na(spark):
+    df = spark.createDataFrame([("NA", "keep"), ("", "N/A")], ["x", "y"])
+    out = normalize_na(df).collect()
+    assert out[0]["x"] is None and out[0]["y"] == "keep"
+    assert out[1]["x"] is None and out[1]["y"] is None
+
+
+def test_upsert_dim_idempotent(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    d1 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    assert upsert_dim(spark, d1, path, ["k"]) == 2
+    # re-seeding is a no-op (reference db.clj:71-78 count-probe idempotency)
+    assert upsert_dim(spark, d1, path, ["k"]) == 0
+    d2 = spark.createDataFrame([("b", 99), ("c", 3)], ["k", "v"])
+    assert upsert_dim(spark, d2, path, ["k"]) == 1  # only 'c' is new
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}  # existing 'b' not overwritten
+
+
+def test_retract_run(spark, audio_tables, tmp_path):
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.plans import ValidationRunner, audio_suite
+
+    out = str(tmp_path / "run_out")
+    runner = ValidationRunner(
+        spark, out, ValidationContext(run_id="to-retract", payload_cap_ms=50)
+    )
+    runner.run_fused(audio_tables, audio_suite(), resume=False)
+    assert runner.audit.completed_constraints("to-retract")
+    removed = retract_run(spark, out, "to-retract")
+    assert removed > 0
+    # retraction makes the run resumable-from-scratch again
+    assert runner.audit.completed_constraints("to-retract") == set()
+    assert not os.path.exists(os.path.join(out, "violations_fused"))

@@ -20,15 +20,21 @@ def run(spark, audio_tables, manifest, tmp_path_factory):
 
 
 def _violation_keys(spark, out, constraint_name):
+    import glob
     import os
 
-    from unify_spark.plans.runner import _safe
-
-    path = os.path.join(out, "violations", _safe(constraint_name))
-    if not os.path.exists(path):
+    # stages can emit several constraint names (e.g. payload also emits the
+    # bytes-nullness rows), so scan all written violations and filter
+    dirs = glob.glob(os.path.join(out, "violations", "*"))
+    if not dirs:
         return set()
+    df = spark.read.parquet(*dirs)
     return {
-        r["key"] for r in spark.read.parquet(path).select("key").distinct().collect()
+        r["key"]
+        for r in df.filter(df["constraint"] == constraint_name)
+        .select("key")
+        .distinct()
+        .collect()
     }
 
 
@@ -74,8 +80,13 @@ def test_range_exact(spark, run, manifest):
 
 def test_nullness_exact(spark, run, manifest):
     runner, result, out = run
-    name = "required:clips.transcript+bytes"
-    assert _violation_keys(spark, out, name) == set(manifest["nullness_clip_ids"])
+    got = _violation_keys(spark, out, "required:clips.transcript") | _violation_keys(
+        spark, out, "required:clips.bytes"
+    )
+    assert got == set(manifest["nullness_clip_ids"])
+    # 4 null transcripts + 3 null payloads (FIXTURES.md V6 split)
+    assert result.violation_counts["required:clips.transcript"] == 4
+    assert result.violation_counts["required:clips.bytes"] == 3
 
 
 def test_payload_exact(spark, run, manifest):

@@ -1,0 +1,52 @@
+"""t-digest sketch: accuracy vs exact quantiles, mergeability, distributed build."""
+
+import numpy as np
+import pytest
+
+from unify_spark.operators import tdigest as td
+
+
+def test_accuracy_vs_exact():
+    rng = np.random.Generator(np.random.PCG64(3))
+    v = rng.lognormal(8.0, 0.6, size=50_000)
+    d = td.build(v, compression=100)
+    assert d.means.size < 250  # bounded state
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+        exact = float(np.quantile(v, q))
+        est = td.quantile(d, q)
+        assert abs(est - exact) / exact < 0.02, (q, est, exact)
+
+
+def test_merge_equivalence():
+    rng = np.random.Generator(np.random.PCG64(4))
+    v = rng.normal(100.0, 15.0, size=40_000)
+    whole = td.build(v, compression=100)
+    parts = [td.build(c, compression=100) for c in np.array_split(v, 8)]
+    merged = td.merge(parts, compression=100)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(td.quantile(merged, q) - td.quantile(whole, q)) < 1.5
+
+
+def test_edge_cases():
+    assert np.isnan(td.quantile(td.build(np.array([])), 0.5))
+    single = td.build(np.array([42.0]))
+    assert td.quantile(single, 0.5) == 42.0
+    const = td.build(np.full(1000, 7.0))
+    assert td.quantile(const, 0.9) == pytest.approx(7.0)
+
+
+def test_distributed_sketch(spark, audio_tables):
+    import pyspark.sql.functions as F
+
+    digests = td.sketch_column(audio_tables["clips"], "dur_ms", part_col="part_date")
+    assert set(digests) >= {"*"}
+    est_p50 = td.quantile(digests["*"], 0.5)
+    exact_p50 = audio_tables["clips"].select(
+        F.expr("percentile(dur_ms, 0.5)").alias("p")
+    ).collect()[0]["p"]
+    assert abs(est_p50 - exact_p50) / exact_p50 < 0.03
+    # the drift partition (doubled durations) must show a higher median
+    p_parts = {p: td.quantile(d, 0.5) for p, d in digests.items() if p != "*"}
+    drift_part = max(p_parts, key=p_parts.get)
+    assert drift_part == "2025-01-08"
+    assert p_parts[drift_part] > 1.5 * min(p_parts.values())

@@ -47,6 +47,30 @@ def cmd_infer_schema(args) -> int:
     return 0
 
 
+def cmd_infer_json_schema(args) -> int:
+    """infer-json-schema analogue (reference cli.clj:288-300)."""
+    from unify_spark.schema.json_schema import metamodel_json_schema
+    from unify_spark.schema.model import Metamodel
+
+    if args.metamodel:
+        with open(args.metamodel) as f:
+            mm = Metamodel.from_json(f.read())
+    else:
+        from unify_spark.schema.infer import infer_metamodel
+        from unify_spark.sources import read_table
+
+        spark = get_spark("unify-infer-json-schema")
+        tables = {n: read_table(spark, p) for n, p in _parse_tables(args.tables).items()}
+        mm = infer_metamodel(tables)
+    out = metamodel_json_schema(mm)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
 def cmd_validate(args) -> int:
     from unify_spark.operators.base import ValidationContext
     from unify_spark.plans import ValidationRunner, audio_suite
@@ -114,6 +138,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_infer_schema)
+
+    s = sub.add_parser("infer-json-schema", help="emit JSON Schema per kind")
+    s.add_argument("--tables", nargs="*", default=[], metavar="name=path")
+    s.add_argument("--metamodel", help="metamodel JSON (skip profiling)")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_infer_json_schema)
 
     s = sub.add_parser("validate", help="run a constraint suite, emit verdicts + audit")
     s.add_argument("--tables", nargs="+", required=True, metavar="name=path")

@@ -36,7 +36,8 @@ SNR_STRIDE = 4  # 1-in-4 frame stride for SNR estimation (see _decode_batch)
 
 _DECODE_SCHEMA = (
     "clip_id string, part string, decode_ok boolean, n_frames long, "
-    "expected_frames long, snr_db double, pcm_sha256 string, reason string"
+    "expected_frames long, snr_db double, pcm_sha256 string, reason string, "
+    "is_null_bytes boolean"
 )
 
 
@@ -55,8 +56,11 @@ def _decode_batch(
     SNR are single 2-D numpy operations. Python-per-row work is only the
     grouping keys and sha256 (C speed). Bit-identical to the scalar path
     (pinned by the batch-equivalence tests in tests/test_audio_codecs.py)."""
-    # disjointness: null bytes -> RequiredConstraint; bad codec -> Domain;
-    # non-positive duration -> Range. Skip those rows here.
+    # disjointness: bad codec -> Domain; non-positive duration -> Range —
+    # skip those rows. Null bytes are REPORTED (is_null_bytes) rather than
+    # checked here, so the required-bytes constraint shares this scan instead
+    # of re-reading the payload column (at 100 TB that is the whole game).
+    null_bytes = pdf[pdf["bytes"].isna()]
     keep = (
         pdf["bytes"].notna()
         & pdf["codec"].isin(pcm.CODEC_DOMAIN)
@@ -115,7 +119,7 @@ def _decode_batch(
             for k in failing:
                 shas[gc[k]] = hashlib.sha256(dec[k].tobytes()).hexdigest()
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "clip_id": cids,
             "part": parts,
@@ -125,8 +129,30 @@ def _decode_batch(
             "snr_db": snr,
             "pcm_sha256": shas.astype(str),
             "reason": reasons.astype(str),
+            "is_null_bytes": np.zeros(m, dtype=bool),
         }
     )
+    if len(null_bytes):
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "clip_id": null_bytes["clip_id"].to_numpy(),
+                        "part": null_bytes["part"].to_numpy(),
+                        "decode_ok": False,
+                        "n_frames": 0,
+                        "expected_frames": 0,
+                        "snr_db": 0.0,
+                        "pcm_sha256": "",
+                        "reason": "null bytes",
+                        "is_null_bytes": True,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return out
 
 
 class AudioPayloadConstraint(Constraint):
@@ -139,11 +165,23 @@ class AudioPayloadConstraint(Constraint):
         table: str = "clips",
         reference_table: str = "reference_decode",
         snr_threshold_db: float = 30.0,
+        null_bytes_constraint: str | None = None,
     ):
         self.table = table
         self.reference_table = reference_table
         self.snr_threshold_db = snr_threshold_db
+        # when set, null-payload rows are emitted under this constraint name
+        # from THIS scan (so a RequiredConstraint need not re-read the bytes
+        # column); see emits
+        self.null_bytes_constraint = null_bytes_constraint
         self.name = f"payload:{table}.bytes"
+
+    @property
+    def emits(self) -> list[str]:
+        names = [self.name]
+        if self.null_bytes_constraint:
+            names.append(self.null_bytes_constraint)
+        return names
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         df = tables[self.table]
@@ -169,7 +207,7 @@ class AudioPayloadConstraint(Constraint):
         # only snr-failing rows need the sha rescue check, so filter BEFORE
         # the reference join: at 10^12 rows this turns a fact-by-fact shuffle
         # into a (tiny failing set) x fact join that AQE broadcasts
-        candidates = decoded.filter(F.col("snr_db") < thr)
+        candidates = decoded.filter(~F.col("is_null_bytes") & (F.col("snr_db") < thr))
         ref = tables[self.reference_table].select(
             "clip_id", F.col("pcm_sha256").alias("_ref_sha")
         )
@@ -177,7 +215,7 @@ class AudioPayloadConstraint(Constraint):
         bad = joined.filter(
             F.col("_ref_sha").isNull() | (F.col("pcm_sha256") != F.col("_ref_sha"))
         )
-        return make_violations(
+        vio = make_violations(
             bad,
             constraint=self.name,
             table=self.table,
@@ -192,3 +230,16 @@ class AudioPayloadConstraint(Constraint):
             expected=f"snr>={self.snr_threshold_db}dB or sha match",
             part="part",
         )
+        if self.null_bytes_constraint:
+            nulls = make_violations(
+                decoded.filter(F.col("is_null_bytes")),
+                constraint=self.null_bytes_constraint,
+                table=self.table,
+                key="clip_id",
+                column="bytes",
+                observed=F.lit("null"),
+                expected="non-null",
+                part="part",
+            )
+            vio = vio.unionByName(nulls)
+        return vio

@@ -110,10 +110,14 @@ class ValidationRunner:
             vio = vio.persist()
             try:
                 per_part = (
-                    vio.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+                    vio.groupBy("constraint", "part")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
                 )
-                counts = {r["part"]: r["n"] for r in per_part}
-                total = sum(counts.values())
+                counts: dict[str, dict] = {}
+                for r in per_part:
+                    counts.setdefault(r["constraint"], {})[r["part"]] = r["n"]
+                total = sum(sum(d.values()) for d in counts.values())
                 if total:
                     vio.limit(self.ctx.violation_cap).coalesce(1).write.mode(
                         "overwrite"
@@ -123,22 +127,25 @@ class ValidationRunner:
 
             parts = universes.get(c.table) or [None]
             wall = time.time() - t0
+            emits = getattr(c, "emits", [c.name])
             audit_rows = []
             with lock:
-                res.violation_counts[c.name] = total
-                res.rows_checked[c.name] = table_rows.get(c.table, 0)
-                for p in parts:
-                    n = counts.get(p, 0)
-                    res.verdicts[(c.name, p)] = n == 0
-                    audit_rows.append(
-                        {
-                            "run_id": self.ctx.run_id,
-                            "constraint": c.name,
-                            "part": p,
-                            "status": "pass" if n == 0 else "fail",
-                            "violation_count": n,
-                        }
-                    )
+                for name in emits:
+                    name_counts = counts.get(name, {})
+                    res.violation_counts[name] = sum(name_counts.values())
+                    res.rows_checked[name] = table_rows.get(c.table, 0)
+                    for p in parts:
+                        n = name_counts.get(p, 0)
+                        res.verdicts[(name, p)] = n == 0
+                        audit_rows.append(
+                            {
+                                "run_id": self.ctx.run_id,
+                                "constraint": name,
+                                "part": p,
+                                "status": "pass" if n == 0 else "fail",
+                                "violation_count": n,
+                            }
+                        )
                 audit_rows.append(
                     {
                         "run_id": self.ctx.run_id,
@@ -156,7 +163,7 @@ class ValidationRunner:
         if self.ctx.fail_fast:
             for c in todo:
                 run_stage(c)
-                if res.violation_counts.get(c.name):
+                if any(res.violation_counts.get(n) for n in getattr(c, "emits", [c.name])):
                     # reference semantics: first anomaly kills the job
                     # (src/com/vendekagonlabs/unify/import/engine.clj:166-181)
                     break
@@ -231,9 +238,11 @@ class ValidationRunner:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-            counts: dict[str, dict] = {c.name: {} for c in todo}
+            counts: dict[str, dict] = {
+                name: {} for c in todo for name in getattr(c, "emits", [c.name])
+            }
             for r in counts_rows:
-                counts[r["constraint"]][r["part"]] = r["n"]
+                counts.setdefault(r["constraint"], {})[r["part"]] = r["n"]
             # capped per-constraint violation rows, one partitioned write
             w = Window.partitionBy("constraint").orderBy(
                 F.col("key").asc_nulls_last(), F.col("column").asc_nulls_last()
@@ -250,28 +259,31 @@ class ValidationRunner:
         wall = time.time() - t_run
         audit_rows = []
         for c in todo:
-            total = sum(counts[c.name].values())
-            res.violation_counts[c.name] = total
-            res.rows_checked[c.name] = table_rows.get(c.table, 0)
-            for p in universes.get(c.table) or [None]:
-                n = counts[c.name].get(p, 0)
-                res.verdicts[(c.name, p)] = n == 0
-                audit_rows.append(
-                    {
-                        "run_id": self.ctx.run_id,
-                        "constraint": c.name,
-                        "part": p,
-                        "status": "pass" if n == 0 else "fail",
-                        "violation_count": n,
-                    }
-                )
+            stage_total = 0
+            for name in getattr(c, "emits", [c.name]):
+                total = sum(counts.get(name, {}).values())
+                stage_total += total
+                res.violation_counts[name] = total
+                res.rows_checked[name] = table_rows.get(c.table, 0)
+                for p in universes.get(c.table) or [None]:
+                    n = counts.get(name, {}).get(p, 0)
+                    res.verdicts[(name, p)] = n == 0
+                    audit_rows.append(
+                        {
+                            "run_id": self.ctx.run_id,
+                            "constraint": name,
+                            "part": p,
+                            "status": "pass" if n == 0 else "fail",
+                            "violation_count": n,
+                        }
+                    )
             audit_rows.append(
                 {
                     "run_id": self.ctx.run_id,
                     "constraint": c.name,
                     "part": None,
                     "status": "done",
-                    "violation_count": total,
+                    "violation_count": stage_total,
                     "rows_checked": res.rows_checked[c.name],
                     "wall_sec": wall,
                 }

@@ -54,14 +54,23 @@ def audio_suite(include_payload: bool = True, include_drift: bool = True) -> lis
         DomainConstraint("clips", "codec", dim_table="codec_domain", dim_key="codec"),
         RangeConstraint("clips", "sr_hz", allowed_set=list(SR_CHOICES)),
         RangeConstraint("clips", "dur_ms", min_value=0, max_value=DUR_MAX_MS, min_exclusive=True),
-        RequiredConstraint("clips", ["transcript", "bytes"]),
+        # bytes nullness is checked inside the payload scan (one read of the
+        # payload column for both constraints); transcript stays row-local
+        RequiredConstraint("clips", ["transcript"]),
         EqualityAcrossTablesConstraint(
             "clips", "transcript_map", on="clip_id",
             left_col="transcript", right_col="transcript", key_col="transcript_id",
         ),
     ]
     if include_payload:
-        suite.append(AudioPayloadConstraint("clips", "reference_decode"))
+        suite.append(
+            AudioPayloadConstraint(
+                "clips", "reference_decode",
+                null_bytes_constraint="required:clips.bytes",
+            )
+        )
+    else:
+        suite.append(RequiredConstraint("clips", ["bytes"]))
     if include_drift:
         suite.append(DriftConstraint("clips", "dur_ms"))
     return suite

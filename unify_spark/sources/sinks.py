@@ -1,0 +1,76 @@
+"""Sinks: partitioned writes, idempotent reference-data upsert, and run
+retraction.
+
+Reference parity:
+- entity/tx-data sinks (src/com/vendekagonlabs/unify/import/engine.clj:128-188,
+  import/tx_data.clj:97-147) → partitioned parquet/Iceberg writes; batch
+  granularity = files/partitions instead of 50-entity transactions.
+- seed/bootstrap loader, idempotent via count probe (db.clj:109-123,71-78)
+  → ``upsert_dim``: MERGE when an Iceberg catalog is present, else
+  read-union-dedup-overwrite (same result, parquet-compatible).
+- retraction of a dataset by tx-log scan (import/retract.clj:84-153) →
+  ``retract_run``: drop all audit/violation state for a run_id (Iceberg
+  row-level delete in production; file rewrite on plain parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet write (Iceberg: identity-partition table)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def upsert_dim(
+    spark: SparkSession, incoming: DataFrame, path: str, key_cols: list[str]
+) -> int:
+    """Idempotent reference/dimension upsert: new keys are appended, existing
+    keys keep their current row (reference-data semantics: seed once, re-runs
+    are no-ops). Returns the number of newly inserted rows."""
+    if os.path.exists(path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ):
+        current = spark.read.parquet(path)
+        new_rows = incoming.join(
+            current.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        n = new_rows.count()
+        if n:
+            merged = current.unionByName(new_rows)
+            tmp = path + ".tmp"
+            merged.coalesce(max(1, merged.rdd.getNumPartitions())).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        return n
+    incoming.write.mode("overwrite").parquet(path)
+    return incoming.count()
+
+
+def retract_run(spark: SparkSession, out_dir: str, run_id: str) -> int:
+    """Undo a run: remove its audit rows and violation outputs. Returns the
+    number of audit rows retracted. (Iceberg: DELETE WHERE run_id = ...)"""
+    audit_path = os.path.join(out_dir, "audit")
+    removed = 0
+    if os.path.exists(audit_path):
+        audit = spark.read.parquet(audit_path)
+        removed = audit.filter(F.col("run_id") == run_id).count()
+        if removed:
+            kept = audit.filter(F.col("run_id") != run_id)
+            tmp = audit_path + ".tmp"
+            kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(audit_path)
+            os.rename(tmp, audit_path)
+    for sub in ("violations", "violations_fused"):
+        p = os.path.join(out_dir, sub)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    return removed
