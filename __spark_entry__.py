@@ -306,6 +306,33 @@ def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_upsert_conflict(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsert-collision crosscheck (SURVEY §2.3, upsert_coordination.clj:25-105):
+    duplicate composite keys whose other attributes differ."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count_distinct(F.struct("l_quantity", "l_extendedprice")).alias("n_variants")
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """t-digest sketch quantiles (rows-only: sketch estimates differ from
+    exact by design; accuracy pinned in tests/test_tdigest.py)."""
+    from unify_spark.operators import tdigest as td
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_returnflag", "part")
+    digests = td.sketch_column(li, "l_extendedprice", part_col="part")
+    rows = [
+        (p, round(td.quantile(d, 0.5), 2), round(td.quantile(d, 0.95), 2))
+        for p, d in sorted(digests.items())
+    ]
+    return spark.createDataFrame(rows, "part string, p50 double, p95 double")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -344,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
+        "q_upsert_conflict": q_upsert_conflict,
+        "q_tdigest_quantiles": q_tdigest_quantiles,
     }
 
 
@@ -470,6 +499,12 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
               ON l_quantity, l_discount, l_tax INTO NAME variable VALUE value
             )
+        """,
+        "q_upsert_conflict": """
+            SELECT l_orderkey, l_linenumber,
+                   COUNT(DISTINCT (l_quantity, l_extendedprice)) AS n_variants
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+            HAVING COUNT(DISTINCT (l_quantity, l_extendedprice)) > 1
         """,
         "q_distinct_counts": """
             SELECT COUNT(DISTINCT l_partkey) AS n_parts,

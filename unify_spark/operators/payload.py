@@ -204,42 +204,48 @@ class AudioPayloadConstraint(Constraint):
 
         decoded = slim.mapInPandas(run, schema=_DECODE_SCHEMA)
 
-        # only snr-failing rows need the sha rescue check, so filter BEFORE
-        # the reference join: at 10^12 rows this turns a fact-by-fact shuffle
-        # into a (tiny failing set) x fact join that AQE broadcasts
-        candidates = decoded.filter(~F.col("is_null_bytes") & (F.col("snr_db") < thr))
+        # only rows that can possibly violate leave the decode pass: snr
+        # failures (need the sha rescue check) and null payloads. ONE branch
+        # over the mapInPandas output — a second branch would recompute the
+        # entire decode since the pass output is deliberately uncached.
+        emit_nulls = F.lit(self.null_bytes_constraint is not None)
+        candidates = decoded.filter(
+            (F.col("is_null_bytes") & emit_nulls)
+            | (~F.col("is_null_bytes") & (F.col("snr_db") < thr))
+        )
         ref = tables[self.reference_table].select(
             "clip_id", F.col("pcm_sha256").alias("_ref_sha")
         )
         joined = candidates.join(ref, on="clip_id", how="left")
         bad = joined.filter(
-            F.col("_ref_sha").isNull() | (F.col("pcm_sha256") != F.col("_ref_sha"))
+            F.col("is_null_bytes")
+            | F.col("_ref_sha").isNull()
+            | (F.col("pcm_sha256") != F.col("_ref_sha"))
         )
-        vio = make_violations(
-            bad,
-            constraint=self.name,
-            table=self.table,
-            key="clip_id",
-            column="bytes",
-            observed=F.concat_ws(
-                ";",
-                F.concat(F.lit("snr_db="), F.round(F.col("snr_db"), 2).cast("string")),
-                F.concat(F.lit("frames="), F.col("n_frames").cast("string")),
-                F.col("reason"),
-            ),
-            expected=f"snr>={self.snr_threshold_db}dB or sha match",
-            part="part",
-        )
-        if self.null_bytes_constraint:
-            nulls = make_violations(
-                decoded.filter(F.col("is_null_bytes")),
-                constraint=self.null_bytes_constraint,
-                table=self.table,
-                key="clip_id",
-                column="bytes",
-                observed=F.lit("null"),
-                expected="non-null",
-                part="part",
+        null_name = self.null_bytes_constraint or self.name
+        return bad.select(
+            F.when(F.col("is_null_bytes"), F.lit(null_name))
+            .otherwise(F.lit(self.name))
+            .alias("constraint"),
+            F.lit(self.table).alias("table"),
+            F.col("clip_id").cast("string").alias("key"),
+            F.lit("bytes").alias("column"),
+            F.when(F.col("is_null_bytes"), F.lit("null"))
+            .otherwise(
+                F.concat_ws(
+                    ";",
+                    F.concat(
+                        F.lit("snr_db="), F.round(F.col("snr_db"), 2).cast("string")
+                    ),
+                    F.concat(F.lit("frames="), F.col("n_frames").cast("string")),
+                    F.col("reason"),
+                )
             )
-            vio = vio.unionByName(nulls)
-        return vio
+            .alias("observed"),
+            F.when(F.col("is_null_bytes"), F.lit("non-null"))
+            .otherwise(F.lit(f"snr>={self.snr_threshold_db}dB or sha match"))
+            .alias("expected"),
+            F.col("part").cast("string").alias("part"),
+            F.lit(None).cast("string").alias("source_file"),
+            F.lit(None).cast("long").alias("row_index"),
+        )
