@@ -306,6 +306,35 @@ def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-pretokenizer token counting (letter runs / digit runs / single
+    punctuation) per language."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(text.bpe_ish_token_count("text").cast("long")).alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_windowed_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time windowed aggregation (the streaming window shape run on
+    the batch table; identical code runs on readStream with a watermark)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_upsert_conflict(spark: SparkSession, sf: str) -> DataFrame:
     """Upsert-collision crosscheck (SURVEY §2.3, upsert_coordination.clj:25-105):
     duplicate composite keys whose other attributes differ."""
@@ -371,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_windowed_events": q_windowed_events,
         "q_upsert_conflict": q_upsert_conflict,
         "q_tdigest_quantiles": q_tdigest_quantiles,
     }
@@ -499,6 +530,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
               ON l_quantity, l_discount, l_tax INTO NAME variable VALUE value
             )
+        """,
+        "q_bpe_tokens": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "q_windowed_events": """
+            SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+                   event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "q_upsert_conflict": """
             SELECT l_orderkey, l_linenumber,

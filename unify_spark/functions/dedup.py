@@ -37,23 +37,23 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _minhash_sig(sh: Column, num_hashes: int) -> list[Column]:
-    # k independent hash families via seed-mixed xxhash64; min over shingles
-    return [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
-            f"mh_{i}"
-        )
-        for i in range(num_hashes)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    sh = shingles(text_col, shingle_n)
-    return df.select(F.col(id_col), *_minhash_sig(sh, num_hashes)).where(
-        F.col(f"mh_0").isNotNull()
-    )
+    """k minhashes per document via explode → k min-aggregates.
+
+    Why this shape: computing k ``array_min(transform(shingles, ...))``
+    columns re-evaluates the shingle expression per hash family (Catalyst's
+    project-collapse re-inlines it — measured), whereas explode evaluates
+    shingling ONCE per row and the k mins combine map-side, so the shuffle
+    carries only k longs per (id, input-partition). This is also the shape
+    that survives 10^9 documents: state is bounded by ids × k."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidates(

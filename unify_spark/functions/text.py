@@ -34,6 +34,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Sub-word-ish tokenization: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the BPE-pretokenizer regex family;
+    a real BPE merges from here). SQL-expressible (regexp_extract_all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_BPE_ISH), F.lit(0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Normalized document fingerprint: md5 of lowercase, whitespace-collapsed
     text (rolling-hash slot; md5 keeps it SQL-oracle-checkable)."""
