@@ -306,6 +306,15 @@ def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_range_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """RangeConstraint shape: rows outside a numeric contract (filter is
+    pushed into the parquet scan — see PLANS.md)."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & ((F.col("value") < 0) | (F.col("value") > 95))
+    ).select("event_id", F.round("value", 6).alias("value"))
+
+
 def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-pretokenizer token counting (letter runs / digit runs / single
     punctuation) per language."""
@@ -400,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
+        "q_range_violations": q_range_violations,
         "q_bpe_tokens": q_bpe_tokens,
         "q_windowed_events": q_windowed_events,
         "q_upsert_conflict": q_upsert_conflict,
@@ -530,6 +540,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
               ON l_quantity, l_discount, l_tax INTO NAME variable VALUE value
             )
+        """,
+        "q_range_violations": """
+            SELECT event_id, ROUND(value, 6) AS value FROM events
+            WHERE value IS NOT NULL AND (value < 0 OR value > 95)
         """,
         "q_bpe_tokens": """
             SELECT lang,

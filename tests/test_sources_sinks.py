@@ -67,3 +67,31 @@ def test_retract_run(spark, audio_tables, tmp_path):
     # retraction makes the run resumable-from-scratch again
     assert runner.audit.completed_constraints("to-retract") == set()
     assert not os.path.exists(os.path.join(out, "violations_fused"))
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Joining two tables bucketed on the same key must plan WITHOUT a
+    shuffle exchange on either side (the co-located join story)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unify_spark.sources.sinks import write_bucketed
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    write_bucketed(left, "bk_left", ["k"], n_buckets=8)
+    write_bucketed(right, "bk_right", ["k"], n_buckets=8)
+    # force a merge join (small test tables would otherwise broadcast and
+    # hide the bucketing); at fact×fact scale SMJ is what Spark picks anyway
+    j = spark.table("bk_left").hint("merge").join(spark.table("bk_right"), on="k")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain()
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan  # no shuffle: co-located
+    assert j.count() == 5_000

@@ -11,8 +11,9 @@ Execution shape (the part that must survive 100 TB):
   vectorized per batch, no per-row Python API calls into Spark;
 - the pass emits a TINY projection (clip_id, sha, snr, frames) — audio bytes
   never shuffle;
-- the sha comparison is a join against ``reference_decode`` on clip_id
-  (sort-merge at fact×fact scale; AQE decides).
+- only rows that can violate (SNR failures, null payloads) leave the pass;
+  the sha comparison joins THAT filtered set against ``reference_decode``
+  (AQE broadcasts the small failing side), never fact-by-fact.
 
 Reference parity: this is the Spark restatement of unify's per-record spec
 gate (src/com/vendekagonlabs/unify/validation/record.clj:22-33) for the

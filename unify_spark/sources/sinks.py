@@ -74,3 +74,30 @@ def retract_run(spark: SparkSession, out_dir: str, run_id: str) -> int:
         if os.path.exists(p):
             shutil.rmtree(p)
     return removed
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates join/agg keys at WRITE time so
+    repeated joins on ``bucket_cols`` skip the shuffle entirely (SURVEY §7's
+    "bucketing for co-located joins"; Iceberg: ``bucket(n, col)`` partition
+    transform). Requires a catalog/warehouse (Spark's local warehouse in
+    tests; any HMS/Iceberg catalog in production)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a stale managed-table location survives DROP if the previous write
+    # died mid-flight; clear it so overwrite is truly idempotent
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.split(".")[-1])
+    _sh.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
