@@ -1,0 +1,55 @@
+"""Stats profiler: long-format output, per-partition + global rows, and the
+runner's metrics sidecar."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.operators import profile_table
+
+
+@pytest.fixture(scope="module")
+def stats(spark, audio_tables):
+    return profile_table(
+        audio_tables["clips"], "clips", part_col="part_date", exclude=["bytes"]
+    ).collect()
+
+
+def test_profile_shape(stats, manifest):
+    rows = {(r["part"], r["column"], r["stat"]): r["value"] for r in stats}
+    n_rows_global = int(rows[("*", "*", "rows")])
+    assert n_rows_global == manifest["n_rows"] + len(manifest["uniqueness_clip_ids"])
+    # per-partition rows exist for every partition
+    parts = {r["part"] for r in stats if r["part"] != "*"}
+    assert len(parts) == manifest["n_parts"]
+
+
+def test_profile_null_rate_and_minmax(stats, manifest):
+    rows = {(r["part"], r["column"], r["stat"]): r["value"] for r in stats}
+    total = int(rows[("*", "*", "rows")])
+    null_rate = float(rows[("*", "transcript", "null_rate")])
+    assert null_rate == pytest.approx(4 / total, rel=1e-6)  # 4 injected nulls
+    assert float(rows[("*", "dur_ms", "min")]) == 0.0  # injected dur=0
+    assert float(rows[("*", "dur_ms", "max")]) == 40000.0  # injected dur=40000
+    # quantiles present as an array string
+    assert rows[("*", "dur_ms", "quantiles")].startswith("[")
+
+
+def test_profile_approx_distinct(stats, manifest):
+    rows = {(r["part"], r["column"], r["stat"]): r["value"] for r in stats}
+    approx = int(rows[("*", "clip_id", "approx_distinct")])
+    assert abs(approx - manifest["n_rows"]) / manifest["n_rows"] < 0.05
+
+
+def test_runner_profile_sidecar(spark, audio_tables, tmp_path):
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.plans import ValidationRunner
+
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="p"))
+    runner.profile({"clips": audio_tables["clips"]})
+    import os
+
+    stats = spark.read.parquet(os.path.join(str(tmp_path), "profile"))
+    assert stats.filter(
+        (F.col("column") == "sr_hz") & (F.col("stat") == "quantiles")
+    ).count() > 0
+    assert "bytes" not in {r["column"] for r in stats.select("column").distinct().collect()}

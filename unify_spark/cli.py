@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from unify_spark.session import get_spark
@@ -86,6 +87,16 @@ def cmd_validate(args) -> int:
         constraints = compile_constraints(mm)
     else:
         constraints = audio_suite()
+        needed = {"clips", "transcript_map", "codec_domain", "reference_decode"}
+        missing = sorted(needed - set(tables))
+        if missing:
+            print(
+                f"error: the built-in audio suite needs tables {sorted(needed)}; "
+                f"missing {missing}. Pass them as --tables name=path or supply "
+                "--metamodel for an inferred plan.",
+                file=sys.stderr,
+            )
+            return 2
     ctx = ValidationContext(
         run_id=args.run_id,
         fail_fast=args.fail_fast,
@@ -94,7 +105,12 @@ def cmd_validate(args) -> int:
         part_col=args.part_col,
     )
     runner = ValidationRunner(spark, args.out, ctx)
-    res = runner.run(tables, constraints, resume=not args.no_resume)
+    if args.fused:
+        res = runner.run_fused(tables, constraints, resume=not args.no_resume)
+    else:
+        res = runner.run(tables, constraints, resume=not args.no_resume)
+    if args.profile:
+        runner.profile(tables)
     report = {
         "run_id": res.run_id,
         "passed": res.passed,
@@ -117,6 +133,46 @@ def cmd_profile(args) -> int:
         stats = profile_table(df, name, part_col=args.part_col if args.part_col in df.columns else None)
         stats.coalesce(1).write.mode("append").parquet(args.out)
     print(f"profiles written to {args.out}")
+    return 0
+
+
+def cmd_list_runs(args) -> int:
+    """list-dbs analogue: summarize runs recorded in an audit table."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.plans.audit import AuditLog
+
+    spark = get_spark("unify-list-runs")
+    audit = AuditLog(spark, os.path.join(args.out, "audit"))
+    rows = (
+        audit.read()
+        .filter(F.col("status") == "done")
+        .groupBy("run_id")
+        .agg(
+            F.count(F.lit(1)).alias("stages"),
+            F.sum("violation_count").alias("violations"),
+            # fused mode stamps the whole-run wall on every stage row -> max
+            F.round(F.max("wall_sec"), 2).alias("wall_sec"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy(F.desc("last_ts"))
+        .collect()
+    )
+    for r in rows:
+        print(
+            f"{r['run_id']}: stages={r['stages']} violations={r['violations']}"
+            f" wall={r['wall_sec']}s"
+        )
+    return 0
+
+
+def cmd_retract(args) -> int:
+    """retract analogue (reference import/retract.clj:84-153): undo a run."""
+    from unify_spark.sources.sinks import retract_run
+
+    spark = get_spark("unify-retract")
+    removed = retract_run(spark, args.out, args.run_id)
+    print(f"retracted {removed} audit rows for run {args.run_id}")
     return 0
 
 
@@ -155,6 +211,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--violation-cap", type=int, default=1000)
     s.add_argument("--payload-cap-ms", type=int, default=None)
+    s.add_argument("--fused", action="store_true",
+                   help="single-job fused plan (max throughput; stage-grain resume off)")
+    s.add_argument("--profile", action="store_true",
+                   help="also persist column statistics to <out>/profile")
     s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("profile", help="column statistics to parquet")
@@ -162,6 +222,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--part-col", default="part_date")
     s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("list-runs", help="summarize runs in an audit directory")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_list_runs)
+
+    s = sub.add_parser("retract", help="undo a run: drop its audit + violation state")
+    s.add_argument("--out", required=True)
+    s.add_argument("--run-id", required=True)
+    s.set_defaults(fn=cmd_retract)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
     s.add_argument("--out", required=True)

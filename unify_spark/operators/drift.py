@@ -36,6 +36,7 @@ class DriftConstraint(Constraint):
         psi_threshold: float = 0.25,
         ks_threshold: float = 0.15,
         ks_c_alpha: float = 2.0,
+        bounds: tuple[float, float] | None = None,
     ):
         self.table = table
         self.column = column
@@ -43,6 +44,9 @@ class DriftConstraint(Constraint):
         self.psi_threshold = psi_threshold
         self.ks_threshold = ks_threshold
         self.ks_c_alpha = ks_c_alpha
+        # known contract bounds (e.g. the range constraint's domain) skip the
+        # min/max pre-scan; production reads these from Iceberg manifest stats
+        self.bounds = bounds
         self.name = f"drift:{table}.{column}"
 
     def histogram(self, df: DataFrame, part_col: str) -> DataFrame:
@@ -50,7 +54,13 @@ class DriftConstraint(Constraint):
         bins from global min/max (scan-level stats; parquet/Iceberg footers
         answer this from metadata)."""
         c = F.col(self.column).cast("double")
-        stats = df.select(F.min(c).alias("lo"), F.max(c).alias("hi"))
+        if self.bounds is not None:
+            stats = df.sparkSession.range(1).select(
+                F.lit(float(self.bounds[0])).alias("lo"),
+                F.lit(float(self.bounds[1])).alias("hi"),
+            )
+        else:
+            stats = df.select(F.min(c).alias("lo"), F.max(c).alias("hi"))
         bounded = (
             df.select(F.col(part_col).alias("part"), c.alias("v"))
             .where(c.isNotNull())

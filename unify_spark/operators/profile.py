@@ -31,7 +31,9 @@ def _agg_exprs(df: DataFrame, quantiles: list[float]) -> list:
         exprs.append(
             F.avg(F.col(name).isNull().cast("double")).alias(f"{name}||null_rate")
         )
-        exprs.append(F.approx_count_distinct(name).alias(f"{name}||approx_distinct"))
+        exprs.append(
+            F.approx_count_distinct(name, 0.02).alias(f"{name}||approx_distinct")
+        )
         if base in _NUMERIC:
             exprs.append(F.min(name).cast("double").alias(f"{name}||min"))
             exprs.append(F.max(name).cast("double").alias(f"{name}||max"))

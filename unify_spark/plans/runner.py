@@ -174,6 +174,22 @@ class ValidationRunner:
         res.wall_sec = time.time() - t_run
         return res
 
+    def profile(self, tables: dict[str, DataFrame], exclude: dict | None = None) -> None:
+        """Persist column statistics (null rate, min/max, HLL distinct,
+        sketch quantiles; global + per-partition) next to the audit table —
+        the north-rule "metrics persisted to the audit table" sidecar."""
+        from unify_spark.operators.profile import profile_table
+
+        exclude = exclude or {}
+        for name, df in tables.items():
+            part = self.ctx.part_col if self.ctx.part_col in df.columns else None
+            stats = profile_table(
+                df, name, part_col=part, exclude=exclude.get(name, ["bytes"])
+            )
+            stats.coalesce(1).write.mode("append").parquet(
+                os.path.join(self.out_dir, "profile")
+            )
+
     def run_fused(
         self,
         tables: dict[str, DataFrame],

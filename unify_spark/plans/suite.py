@@ -72,7 +72,10 @@ def audio_suite(include_payload: bool = True, include_drift: bool = True) -> lis
     else:
         suite.append(RequiredConstraint("clips", ["bytes"]))
     if include_drift:
-        suite.append(DriftConstraint("clips", "dur_ms"))
+        # contract bounds (the range constraint's legal domain) skip the
+        # min/max pre-scan; DriftConstraint is multi-column capable (tests
+        # cover sr_hz too) — the default suite mirrors the north rule (dur)
+        suite.append(DriftConstraint("clips", "dur_ms", bounds=(0, DUR_MAX_MS)))
     return suite
 
 
