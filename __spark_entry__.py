@@ -263,10 +263,12 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate NN for the first 5 vectors (rows-only)."""
+    """LSH-bucketed approximate NN for the first 5 vectors (rows-only).
+    Signatures are numpy-matmul'd in one Arrow batch; 4 bands of 4 bits
+    give multi-band OR recall (see similarity.lsh_band_signatures)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+    out = similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=16, n_bands=4)
     return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
@@ -358,17 +360,35 @@ def q_upsert_conflict(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
-    """t-digest sketch quantiles (rows-only: sketch estimates differ from
-    exact by design; accuracy pinned in tests/test_tdigest.py)."""
+    """t-digest sketch quantiles, oracle-checked as an accuracy bound:
+    |sketch − exact percentile| ≤ 1% of the per-part value range. The oracle
+    asserts TRUE per part, so a drifting sketch turns the row red. Tight
+    accuracy pins live in tests/test_tdigest.py."""
     from unify_spark.operators import tdigest as td
 
     li = _t(spark, sf, "lineitem").withColumnRenamed("l_returnflag", "part")
     digests = td.sketch_column(li, "l_extendedprice", part_col="part")
-    rows = [
-        (p, round(td.quantile(d, 0.5), 2), round(td.quantile(d, 0.95), 2))
-        for p, d in sorted(digests.items())
-    ]
-    return spark.createDataFrame(rows, "part string, p50 double, p95 double")
+    exact = {
+        r["part"]: (r["e50"], r["e95"], r["rng"])
+        for r in li.groupBy("part")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("rng"),
+        )
+        .collect()
+    }
+    rows = []
+    for p, (e50, e95, rng) in sorted(exact.items()):
+        d, tol = digests[p], 0.01 * rng
+        rows.append(
+            (
+                p,
+                bool(abs(td.quantile(d, 0.5) - e50) <= tol),
+                bool(abs(td.quantile(d, 0.95) - e95) <= tol),
+            )
+        )
+    return spark.createDataFrame(rows, "part string, p50_ok boolean, p95_ok boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -499,7 +519,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_tokens": r"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                       AS total_tokens
             FROM documents GROUP BY lang
         """,
         "q_text_quality": rf"""
@@ -545,9 +566,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ROUND(value, 6) AS value FROM events
             WHERE value IS NOT NULL AND (value < 0 OR value > 95)
         """,
-        "q_bpe_tokens": """
+        "q_bpe_tokens": r"""
             SELECT lang,
-                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                       AS total_bpe_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -567,6 +589,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_suppkey) AS n_supps,
                    COUNT(DISTINCT l_orderkey) AS n_orders
             FROM lineitem
+        """,
+        "q_lang_id": r"""
+            WITH t AS (
+              SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+            ), s AS (
+              SELECT lang,
+                len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+                len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+                len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+                len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des','un','est','que'))) AS h_fr,
+                len(list_filter(toks, x -> lower(x) IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+              FROM t
+            )
+            SELECT lang,
+                   CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+                        WHEN h_zh >= greatest(h_en,h_de,h_es,h_fr) THEN 'zh'
+                        WHEN h_fr >= greatest(h_en,h_de,h_es) THEN 'fr'
+                        WHEN h_es >= greatest(h_en,h_de) THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   COUNT(*) AS n
+            FROM s GROUP BY 1, 2
+        """,
+        "q_tdigest_quantiles": """
+            SELECT l_returnflag AS part, TRUE AS p50_ok, TRUE AS p95_ok
+            FROM lineitem GROUP BY 1
         """,
         "q_embed_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -108,3 +108,41 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     )
     fps = [r["fp"] for r in df.select(text.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_lsh_ann_recall_vs_exact_topk(spark):
+    """Multi-band OR matching must recover most of the EXACT top-k set —
+    the recall bar the single-AND signature match failed at scale."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = [(i, rng.normal(size=32).astype("float64").tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+
+    k = 5
+    ann = similarity.lsh_ann_topk(df, queries, dim=32, k=k, n_planes=16, n_bands=8)
+    got = {(r["id_q"], r["id_b"]) for r in ann.collect()}
+
+    # exact top-k per query, computed locally
+    V = np.stack([np.array(r[1]) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn[:3] @ Vn.T
+    hits = 0
+    for q in range(3):
+        order = np.argsort(-sims[q])
+        exact = [int(i) for i in order if i != q][:k]
+        hits += sum((q, b) in got for b in exact)
+    assert hits / (3 * k) >= 0.6  # recall floor; 8 bands of 2 bits is generous
+
+
+def test_lsh_band_signatures_deterministic(spark):
+    rows = [(i, [float(i), 1.0, -2.0, float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = similarity.lsh_band_signatures(df, dim=4, n_planes=8, n_bands=2).collect()
+    b = similarity.lsh_band_signatures(df, dim=4, n_planes=8, n_bands=2).collect()
+    assert sorted((r["id"], r["band"], r["sig"]) for r in a) == sorted(
+        (r["id"], r["band"], r["sig"]) for r in b
+    )
+    assert {r["band"] for r in a} == {0, 1}
+    assert all(0 <= r["sig"] < 16 for r in a)

