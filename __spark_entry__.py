@@ -391,6 +391,49 @@ def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "part string, p50_ok boolean, p95_ok boolean")
 
 
+def q_regex_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """RegexConstraint (char-domain/pattern contract, specs.clj:26-44):
+    violation rows via the constraint class itself."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import RegexConstraint
+
+    docs = _t(spark, sf, "documents")
+    c = RegexConstraint("documents", "source", "^src[0-9]$", description="src[0-9]")
+    return c.violations({"documents": docs}, ValidationContext()).select("key", "observed")
+
+
+def q_length_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """LengthConstraint (256-char-cap family, specs.clj:44)."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import LengthConstraint
+
+    docs = _t(spark, sf, "documents")
+    c = LengthConstraint("documents", "text", max_len=450)
+    return c.violations({"documents": docs}, ValidationContext()).select("key", "observed")
+
+
+def q_any_present(spark: SparkSession, sf: str) -> DataFrame:
+    """AnyPresentConstraint (measurement-has-value family, specs.clj:565-635):
+    rows where the whole value-column group is null."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import AnyPresentConstraint
+
+    ev = _t(spark, sf, "events")
+    c = AnyPresentConstraint("events", ["props", "value", "user_id"])
+    return c.violations({"events": ev}, ValidationContext()).select("key")
+
+
+def q_conditional_required(spark: SparkSession, sf: str) -> DataFrame:
+    """ConditionalConstraint (cell-population shape, specs.clj:321-338):
+    purchase events must carry value and user_id."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import ConditionalConstraint
+
+    ev = _t(spark, sf, "events")
+    c = ConditionalConstraint("events", "event_type = 'purchase'", ["value", "user_id"])
+    return c.violations({"events": ev}, ValidationContext()).select("key", "column")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -434,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_events": q_windowed_events,
         "q_upsert_conflict": q_upsert_conflict,
         "q_tdigest_quantiles": q_tdigest_quantiles,
+        "q_regex_violations": q_regex_violations,
+        "q_length_violations": q_length_violations,
+        "q_any_present": q_any_present,
+        "q_conditional_required": q_conditional_required,
     }
 
 
@@ -615,6 +662,28 @@ def oracle_sql() -> dict[str, str]:
         "q_tdigest_quantiles": """
             SELECT l_returnflag AS part, TRUE AS p50_ok, TRUE AS p95_ok
             FROM lineitem GROUP BY 1
+        """,
+        "q_regex_violations": """
+            SELECT CAST(doc_id AS VARCHAR) AS key, source AS observed
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+        """,
+        "q_length_violations": """
+            SELECT CAST(doc_id AS VARCHAR) AS key, CAST(length(text) AS VARCHAR) AS observed
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 450
+        """,
+        "q_any_present": """
+            SELECT CAST(event_id AS VARCHAR) AS key FROM events
+            WHERE COALESCE(CAST(props AS VARCHAR), CAST(value AS VARCHAR),
+                           CAST(user_id AS VARCHAR)) IS NULL
+        """,
+        "q_conditional_required": """
+            SELECT CAST(event_id AS VARCHAR) AS key, 'value' AS "column"
+            FROM events WHERE event_type = 'purchase' AND value IS NULL
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR) AS key, 'user_id' AS "column"
+            FROM events WHERE event_type = 'purchase' AND user_id IS NULL
         """,
         "q_embed_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

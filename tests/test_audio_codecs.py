@@ -66,3 +66,29 @@ def test_noise_distribution():
     assert abs(float(n.mean())) < 0.02
     assert 0.5 < float(n.std()) < 0.65  # uniform [-1,1) → std ≈ 0.577
     assert float(np.abs(n).max()) <= 1.0
+
+
+def test_decode_batch_null_sr_reported():
+    """A null sr_hz must surface as an explicit 'null sr_hz' violation row
+    (previously it NaN-cast to INT64_MIN and slipped through the sha rescue)."""
+    import pandas as pd
+
+    from unify_spark.audio import pcm as _pcm
+    from unify_spark.operators.payload import _decode_batch
+
+    good = _pcm.encode(_pcm.synth_pcm16(1, 8000, 400), "pcm_s16le")
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["c-1", "c-2"],
+            "bytes": [good, good],
+            "sr_hz": [8000.0, None],
+            "dur_ms": [50, 50],
+            "codec": ["pcm_s16le", "pcm_s16le"],
+            "part": ["p1", "p1"],
+        }
+    )
+    out = _decode_batch(pdf, payload_cap_ms=50)
+    by_id = {r["clip_id"]: r for _, r in out.iterrows()}
+    assert by_id["c-1"]["snr_db"] > 30
+    assert by_id["c-2"]["reason"] == "null sr_hz"
+    assert by_id["c-2"]["snr_db"] < 0 and not by_id["c-2"]["is_null_bytes"]

@@ -1,0 +1,185 @@
+"""Golden tests for the §2.5 constraint families added in round 2
+(regex/char-domain, length cap, any-present, conditional shape), the
+staged-vs-fused equivalence of their row_predicates, per-partition resume,
+and resumed-run report hydration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.operators.base import ValidationContext
+from unify_spark.operators.constraints import (
+    AnyPresentConstraint,
+    ConditionalConstraint,
+    LengthConstraint,
+    RangeConstraint,
+    RegexConstraint,
+    RequiredConstraint,
+)
+from unify_spark.plans import ValidationRunner
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        # id, seq, name, a, b, kind, val, part
+        (1, "ARND", "ok", None, 1.0, "gated", 5.0, "p1"),
+        (2, "ARXJ", "ok", 2.0, None, "clustered", None, "p1"),  # J not in alphabet
+        (3, "ARND", "x" * 300, None, None, "gated", None, "p2"),  # too long, none present, missing val
+        (4, None, "ok", 3.0, 4.0, "clustered", None, "p2"),  # null seq passes regex
+    ]
+    return spark.createDataFrame(
+        rows, ["clip_id", "seq", "name", "a", "b", "kind", "val", "part_date"]
+    )
+
+
+def _names(vios):
+    return sorted(r["key"] for r in vios.collect())
+
+
+def test_regex_char_domain(tdf):
+    c = RegexConstraint.char_domain("t", "seq", "ARNDCEQGHILKMFPSTWYVBZX")
+    vios = c.violations({"t": tdf}, ValidationContext())
+    assert _names(vios) == ["2"]  # only the J row; null seq is not a regex violation
+
+
+def test_length_cap(tdf):
+    c = LengthConstraint("t", "name", max_len=256)
+    vios = c.violations({"t": tdf}, ValidationContext())
+    got = vios.collect()
+    assert _names(vios) == ["3"] and got[0]["observed"] == "300"
+
+
+def test_any_present(tdf):
+    c = AnyPresentConstraint("t", ["a", "b"])
+    vios = c.violations({"t": tdf}, ValidationContext())
+    assert _names(vios) == ["3"]
+
+
+def test_conditional_required(tdf):
+    # gated populations must carry val (cell-population semantics)
+    c = ConditionalConstraint("t", "kind = 'gated'", ["val"])
+    vios = c.violations({"t": tdf}, ValidationContext())
+    assert _names(vios) == ["3"]  # row 1 is gated with val; row 2 clustered
+
+
+def test_fused_matches_staged_for_new_families(spark, tdf, tmp_path):
+    """The row_predicates (fused single-scan) path must produce the same
+    violation counts as the per-stage plans."""
+    suite = [
+        RegexConstraint.char_domain("t", "seq", "ARNDCEQGHILKMFPSTWYVBZX"),
+        LengthConstraint("t", "name", max_len=256),
+        AnyPresentConstraint("t", ["a", "b"]),
+        ConditionalConstraint("t", "kind = 'gated'", ["val"]),
+        RequiredConstraint("t", ["val"], na_tokens=["NA"]),
+    ]
+    staged = ValidationRunner(
+        spark, str(tmp_path / "s"), ValidationContext(run_id="s")
+    ).run({"t": tdf}, suite)
+    fused = ValidationRunner(
+        spark, str(tmp_path / "f"), ValidationContext(run_id="f")
+    ).run_fused({"t": tdf}, suite)
+    assert staged.violation_counts == fused.violation_counts
+    assert staged.verdicts == fused.verdicts
+
+
+def test_required_na_tokens_fused_matches_staged(spark, tmp_path):
+    """na-token handling must hold in fused mode WITHOUT normalize_na
+    upstream (round-1 gap: fused silently dropped the token check)."""
+    df = spark.createDataFrame(
+        [(1, "hello", "p1"), (2, "NA", "p1"), (3, None, "p2")],
+        ["clip_id", "txt", "part_date"],
+    )
+    suite = [RequiredConstraint("t", ["txt"], na_tokens=["NA", "N/A"])]
+    staged = ValidationRunner(
+        spark, str(tmp_path / "s"), ValidationContext(run_id="s")
+    ).run({"t": df}, suite)
+    fused = ValidationRunner(
+        spark, str(tmp_path / "f"), ValidationContext(run_id="f")
+    ).run_fused({"t": df}, suite)
+    assert staged.violation_counts[suite[0].name] == 2
+    assert fused.violation_counts[suite[0].name] == 2
+
+
+@pytest.fixture()
+def part_df(spark):
+    rows = []
+    for p in ["p1", "p2", "p3"]:
+        for i in range(10):
+            v = -1.0 if (p == "p3" and i < 4) else float(i)
+            rows.append((f"{p}-{i}", v, p))
+    return spark.createDataFrame(rows, ["clip_id", "val", "part_date"])
+
+
+def test_per_partition_resume_recomputes_only_missing_parts(spark, part_df, tmp_path):
+    """Kill-mid-run semantics: part-grain audit rows exist for p1/p2 (with a
+    deliberately WRONG recorded count for p1 so recomputation would be
+    detectable), no stage 'done' row. Resume must hydrate p1/p2 from the
+    audit verbatim and recompute only p3."""
+    c = RangeConstraint("t", "val", min_value=0.0)
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="r"))
+    # simulate a partial prior run: p1 recorded with a sentinel count 7 (a
+    # recompute would find 0), p2 recorded pass; p3 missing
+    runner.audit.append(
+        [
+            {"run_id": "r", "constraint": c.name, "part": "p1", "status": "fail", "violation_count": 7},
+            {"run_id": "r", "constraint": c.name, "part": "p2", "status": "pass", "violation_count": 0},
+        ]
+    )
+    res = runner.run({"t": part_df}, [c])
+    # hydrated, not recomputed: the sentinel count survives
+    assert res.violation_counts[c.name] == 7 + 4
+    assert res.verdicts[(c.name, "p1")] is False
+    assert res.verdicts[(c.name, "p2")] is True
+    assert res.verdicts[(c.name, "p3")] is False
+    # and the stage is now 'done': a further resume skips it wholesale
+    res2 = runner.run({"t": part_df}, [c])
+    assert res2.skipped == [c.name]
+    assert res2.violation_counts[c.name] == 7 + 4  # hydrated report
+
+
+def test_per_partition_resume_fused(spark, part_df, tmp_path):
+    c = RangeConstraint("t", "val", min_value=0.0)
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="r"))
+    runner.audit.append(
+        [
+            {"run_id": "r", "constraint": c.name, "part": "p1", "status": "pass", "violation_count": 0},
+            {"run_id": "r", "constraint": c.name, "part": "p2", "status": "pass", "violation_count": 0},
+        ]
+    )
+    res = runner.run_fused({"t": part_df}, [c])
+    assert res.violation_counts[c.name] == 4  # only p3 recomputed, found 4
+    assert res.verdicts[(c.name, "p3")] is False
+    assert res.verdicts[(c.name, "p1")] is True  # hydrated
+
+
+def test_resume_hydrates_failed_run_report(spark, part_df, tmp_path):
+    """ADVICE fix: re-running a completed failing run must NOT report
+    passed=True / zero violations."""
+    c = RangeConstraint("t", "val", min_value=0.0)
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="r"))
+    first = runner.run({"t": part_df}, [c])
+    assert not first.passed and first.violation_counts[c.name] == 4
+    second = runner.run({"t": part_df}, [c])
+    assert second.skipped == [c.name]
+    assert not second.passed
+    assert second.violation_counts[c.name] == 4
+    assert second.verdicts[(c.name, "p3")] is False
+
+
+def test_global_constraint_resume_stays_stage_grain(spark, tmp_path):
+    """A non-partition-local constraint (uniqueness) with partial part rows
+    but no 'done' row re-runs WHOLE (partition subset would be unsound)."""
+    from unify_spark.operators.constraints import UniquenessConstraint
+
+    df = spark.createDataFrame(
+        [("a", "p1"), ("a", "p2"), ("b", "p2")], ["clip_id", "part_date"]
+    )
+    c = UniquenessConstraint("t", ["clip_id"])
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="r"))
+    runner.audit.append(
+        [{"run_id": "r", "constraint": c.name, "part": "p1", "status": "pass", "violation_count": 0}]
+    )
+    res = runner.run({"t": df}, [c])
+    assert res.skipped == []
+    # the cross-partition duplicate IS found (both rows of key 'a')
+    assert res.violation_counts[c.name] == 2

@@ -26,7 +26,10 @@ def test_fused_resume_skips_everything(spark, audio_tables, tmp_path):
     assert not first.skipped
     second = runner.run_fused(audio_tables, audio_suite(), resume=True)
     assert len(second.skipped) == len(audio_suite())
-    assert second.violation_counts == {}
+    # resumed runs hydrate prior results from the audit: same counts, same
+    # pass/fail outcome (a failed dataset must NOT re-report as clean)
+    assert second.violation_counts == first.violation_counts
+    assert second.passed == first.passed
 
 
 def test_staged_resume_and_fail_fast(spark, audio_tables, tmp_path):

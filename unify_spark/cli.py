@@ -80,7 +80,22 @@ def cmd_validate(args) -> int:
     from unify_spark.sources import read_table
 
     spark = get_spark("unify-validate")
-    tables = {n: read_table(spark, p) for n, p in _parse_tables(args.tables).items()}
+    table_paths = _parse_tables(args.tables)
+    tables = {n: read_table(spark, p) for n, p in table_paths.items()}
+    # payload cap must match the cap used when payloads were synthesized:
+    # prefer the fixture manifest next to the clips table, then the
+    # ValidationContext default (50). <=0 means validate full duration.
+    cap = args.payload_cap_ms
+    if cap is None:
+        cap = 50
+        clips_path = table_paths.get("clips")
+        if clips_path:
+            mpath = os.path.join(os.path.dirname(clips_path.rstrip("/")), "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    cap = json.load(f).get("payload_cap_ms", 50)
+    if cap is not None and cap <= 0:
+        cap = None
     if args.metamodel:
         with open(args.metamodel) as f:
             mm = Metamodel.from_json(f.read())
@@ -101,7 +116,7 @@ def cmd_validate(args) -> int:
         run_id=args.run_id,
         fail_fast=args.fail_fast,
         violation_cap=args.violation_cap,
-        payload_cap_ms=args.payload_cap_ms,
+        payload_cap_ms=cap,
         part_col=args.part_col,
     )
     runner = ValidationRunner(spark, args.out, ctx)
@@ -210,7 +225,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fail-fast", action="store_true")
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--violation-cap", type=int, default=1000)
-    s.add_argument("--payload-cap-ms", type=int, default=None)
+    s.add_argument("--payload-cap-ms", type=int, default=None,
+                   help="payload truncation used at synthesis time; default reads "
+                        "the fixture manifest next to the clips table, else 50; "
+                        "<=0 validates the full duration")
     s.add_argument("--fused", action="store_true",
                    help="single-job fused plan (max throughput; stage-grain resume off)")
     s.add_argument("--profile", action="store_true",

@@ -194,15 +194,18 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Scale guard: shingles occurring in more than
     ``max_shingle_freq`` docs are dropped before the self-join (they
     contribute candidates quadratically but little Jaccard mass) — the
-    standard hot-token cap; set None to disable.
+    standard hot-token cap; set None to disable. Per-doc sizes are counted
+    AFTER the hot-shingle drop so intersection and union use the same
+    filtered shingle universe (Jaccard stays exact over that universe —
+    counting sizes pre-filter would systematically underestimate).
     """
     sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f")).filter(
             F.col("f") > max_shingle_freq
         )
         sh = sh.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
     inter = (

@@ -5,12 +5,16 @@ from unify_spark.operators.base import (  # noqa: F401
     empty_violations,
 )
 from unify_spark.operators.constraints import (  # noqa: F401
+    AnyPresentConstraint,
     CompositeIdConstraint,
+    ConditionalConstraint,
     DomainConstraint,
     EnumMappingConstraint,
     EqualityAcrossTablesConstraint,
+    LengthConstraint,
     RangeConstraint,
     ReferentialIntegrityConstraint,
+    RegexConstraint,
     RequiredConstraint,
     UniquenessConstraint,
 )

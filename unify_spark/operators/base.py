@@ -100,6 +100,14 @@ class Constraint:
     name: str = "constraint"
     table: str = "clips"
     partition_grain: bool = False
+    # True when the constraint's verdict for a partition depends ONLY on that
+    # partition's rows (row-local predicates, per-row decode). The runner can
+    # then resume at (constraint, partition) grain — recompute only partitions
+    # missing from the audit — matching the reference's committed-uuid-set
+    # filter (db/import_coordination.clj:60-84). Global constraints
+    # (uniqueness, referential, cross-table equality) stay stage-grain: a
+    # partition subset would change their semantics.
+    partition_local: bool = False
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         raise NotImplementedError

@@ -129,6 +129,8 @@ class DomainConstraint(Constraint):
     dimension table (broadcast anti-join), mirroring unify's enums.edn.
     """
 
+    partition_local = True
+
     def __init__(
         self,
         table: str,
@@ -187,6 +189,8 @@ class RangeConstraint(Constraint):
     Reference: `::non-negative`, `::zero-to-one`, `::cn-range` numeric specs
     (src/com/vendekagonlabs/unify/validation/specs.clj:21-23,45-74).
     """
+
+    partition_local = True
 
     def __init__(
         self,
@@ -262,6 +266,8 @@ class RequiredConstraint(Constraint):
     NA tokens are normalized to null first, like unify's configurable na set.
     """
 
+    partition_local = True
+
     def __init__(self, table: str, columns: list[str], na_tokens: list[str] | None = None):
         self.table = table
         self.columns = list(columns)
@@ -275,8 +281,10 @@ class RequiredConstraint(Constraint):
         for col in self.columns:
             c = F.col(col)
             is_missing = c.isNull()
-            if self.na_tokens and dict(df.dtypes).get(col) == "string":
-                is_missing = is_missing | c.isin(self.na_tokens)
+            if self.na_tokens:
+                # same cast-to-string form as row_predicates so staged and
+                # fused modes agree for every column type
+                is_missing = is_missing | c.cast("string").isin(self.na_tokens)
             parts.append(
                 make_violations(
                     df.filter(is_missing),
@@ -299,8 +307,12 @@ class RequiredConstraint(Constraint):
         for col in self.columns:
             c = F.col(col)
             is_missing = c.isNull()
-            # NB: na-token augmentation needs dtypes; the fused bundle applies
-            # plain null checks — normalize_na upstream handles token NAs
+            if self.na_tokens:
+                # cast-to-string keeps the token check type-safe without
+                # dtypes (a numeric column never stringifies to an NA token),
+                # so the fused bundle matches violations() even when
+                # normalize_na did NOT run upstream
+                is_missing = is_missing | c.cast("string").isin(self.na_tokens)
             preds.append((is_missing, col, F.lit("null"), "non-null"))
         return preds
 
@@ -313,6 +325,8 @@ class CompositeIdConstraint(Constraint):
     (src/com/vendekagonlabs/unify/import/engine/parse/data.clj:504-530,
     src/com/vendekagonlabs/unify/validation/specs.clj:162-177,275-301).
     """
+
+    partition_local = True
 
     def __init__(self, table: str, id_col: str, components: list[str], sep: str = "-"):
         self.table = table
@@ -351,6 +365,8 @@ class EnumMappingConstraint(Constraint):
     become violation rows instead of exceptions (fail-at-end, SURVEY §7.4).
     """
 
+    partition_local = True
+
     def __init__(self, table: str, column: str, mapping: dict[str, str]):
         self.table = table
         self.column = column
@@ -382,6 +398,194 @@ class EnumMappingConstraint(Constraint):
         """The transform side: resolved values are rewritten in place."""
         mapping_expr = F.create_map(*[F.lit(x) for kv in self.mapping.items() for x in kv])
         return df.withColumn(self.column, mapping_expr[F.col(self.column)])
+
+
+class RegexConstraint(Constraint):
+    """Character-domain / pattern contract on a string column.
+
+    Reference: the amino-acid char-set specs — a string is valid iff every
+    character belongs to an allowed alphabet
+    (src/com/vendekagonlabs/unify/validation/specs.clj:26-44). Expressed as
+    one ``rlike`` anchored regex (JVM regex, codegen'd; char-class form
+    ``^[ARND...]*$`` covers the reference's every-char semantics exactly).
+    """
+
+    partition_local = True
+
+    def __init__(self, table: str, column: str, pattern: str, description: str | None = None):
+        self.table = table
+        self.column = column
+        self.pattern = pattern
+        self.description = description or f"matches /{pattern}/"
+        self.name = f"regex:{table}.{column}"
+
+    @classmethod
+    def char_domain(cls, table: str, column: str, alphabet: str) -> "RegexConstraint":
+        """Every character must belong to ``alphabet`` (specs.clj ::amino-seq)."""
+        import re
+
+        return cls(
+            table,
+            column,
+            f"^[{re.escape(alphabet)}]*$",
+            description=f"chars in {{{alphabet}}}",
+        )
+
+    def _fail(self):
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.rlike(self.pattern)
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        return make_violations(
+            df.filter(self._fail()),
+            constraint=self.name,
+            table=self.table,
+            key=key,
+            column=self.column,
+            observed=self.column,
+            expected=self.description,
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
+
+    def row_predicates(self, ctx):
+        return [(self._fail(), self.column, F.col(self.column), self.description)]
+
+
+class LengthConstraint(Constraint):
+    """String length cap (optionally a floor).
+
+    Reference: the 256-char name cap, ``#(<= (count %) 256)``
+    (src/com/vendekagonlabs/unify/validation/specs.clj:44) — the same limit
+    that motivates UID md5 hashing (import/tx_data.clj:67-73).
+    """
+
+    partition_local = True
+
+    def __init__(self, table: str, column: str, max_len: int, min_len: int = 0):
+        self.table = table
+        self.column = column
+        self.max_len = max_len
+        self.min_len = min_len
+        self.name = f"length:{table}.{column}"
+
+    def _fail(self):
+        n = F.length(F.col(self.column))
+        bad = n > self.max_len
+        if self.min_len:
+            bad = bad | (n < self.min_len)
+        return F.col(self.column).isNotNull() & bad
+
+    def _expected(self) -> str:
+        lo = f"{self.min_len} <= " if self.min_len else ""
+        return f"{lo}length <= {self.max_len}"
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        return make_violations(
+            df.filter(self._fail()),
+            constraint=self.name,
+            table=self.table,
+            key=key,
+            column=self.column,
+            observed=F.length(F.col(self.column)),
+            expected=self._expected(),
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
+
+    def row_predicates(self, ctx):
+        return [(self._fail(), self.column, F.length(F.col(self.column)), self._expected())]
+
+
+class AnyPresentConstraint(Constraint):
+    """At least ONE of a column group must be non-null per row.
+
+    Reference: ``::measurement-has-value`` — a measurement row is valid iff
+    any of its value attributes is present
+    (src/com/vendekagonlabs/unify/validation/specs.clj:565-635). One
+    ``coalesce`` over the group (single scan, no per-column branches).
+    """
+
+    partition_local = True
+
+    def __init__(self, table: str, columns: list[str]):
+        self.table = table
+        self.columns = list(columns)
+        self.name = f"any_present:{table}.{'|'.join(columns)}"
+
+    def _fail(self):
+        return F.coalesce(*[F.col(c).cast("string") for c in self.columns]).isNull()
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        return make_violations(
+            df.filter(self._fail()),
+            constraint=self.name,
+            table=self.table,
+            key=key,
+            column="|".join(self.columns),
+            observed=F.lit("all null"),
+            expected="at least one non-null",
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
+
+    def row_predicates(self, ctx):
+        return [(self._fail(), "|".join(self.columns), F.lit("all null"), "at least one non-null")]
+
+
+class ConditionalConstraint(Constraint):
+    """When a row satisfies a condition, extra columns become required —
+    conditional shape validation.
+
+    Reference: ``::cell-population`` — cell-type is required only when the
+    population is NOT from clustering
+    (src/com/vendekagonlabs/unify/validation/specs.clj:321-338). The
+    condition is a SQL boolean expression string, the consequent a list of
+    then-required columns; evaluated as one CASE per row (fusable).
+    """
+
+    partition_local = True
+
+    def __init__(self, table: str, when_expr: str, then_required: list[str]):
+        self.table = table
+        self.when_expr = when_expr
+        self.then_required = list(then_required)
+        self.name = f"conditional:{table}.when({when_expr})"
+
+    def _preds(self):
+        cond = F.expr(self.when_expr)
+        out = []
+        for col in self.then_required:
+            fail = cond & F.col(col).isNull()
+            out.append((fail, col, F.lit("null"), f"non-null when {self.when_expr}"))
+        return out
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        parts = [
+            make_violations(
+                df.filter(fail),
+                constraint=self.name,
+                table=self.table,
+                key=key,
+                column=col,
+                observed=obs,
+                expected=exp,
+                part=ctx.part_col if ctx.part_col in df.columns else None,
+            )
+            for fail, col, obs, exp in self._preds()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def row_predicates(self, ctx):
+        return self._preds()
 
 
 class UpsertConflictConstraint(Constraint):
@@ -454,17 +658,32 @@ class EqualityAcrossTablesConstraint(Constraint):
         self.name = f"equality:{left_table}.{left_col}={right_table}.{right_col}"
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        # the LEFT (fact-sized) side shuffles only an 8-byte xxhash64
+        # fingerprint of the compared value — at 100 TB the transcript text
+        # IS the table, so it must never cross the wire twice. The right
+        # (referencing) side keeps its raw value: it is needed verbatim for
+        # the violation projection anyway, and carrying it beats a second
+        # scan + join to recover it. A hash collision masks an inequality
+        # with probability ~2^-64 per pair.
+        def _h(c):
+            return F.when(c.isNotNull(), F.xxhash64(c))
+
         left = tables[self.left_table].select(
-            F.col(self.on), F.col(self.left_col).alias("_lv")
+            F.col(self.on), _h(F.col(self.left_col)).alias("_lh")
         )
         right = tables[self.right_table]
         key = self.key_col or self.on
-        sel = [F.col(self.on), F.col(self.right_col).alias("_rv"), F.col(key).alias("_k")]
+        sel = [
+            F.col(self.on),
+            F.col(self.right_col).alias("_rv"),
+            _h(F.col(self.right_col)).alias("_rh"),
+            F.col(key).alias("_k"),
+        ]
         if "source_file" in right.columns:
             sel += [F.col("source_file"), F.col("row_index")]
         joined = right.select(*sel).join(left, on=self.on, how="inner")
         bad = joined.filter(
-            F.col("_lv").isNotNull() & F.col("_rv").isNotNull() & (F.col("_lv") != F.col("_rv"))
+            F.col("_lh").isNotNull() & F.col("_rh").isNotNull() & (F.col("_lh") != F.col("_rh"))
         )
         return make_violations(
             bad,

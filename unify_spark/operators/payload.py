@@ -62,13 +62,16 @@ def _decode_batch(
     # checked here, so the required-bytes constraint shares this scan instead
     # of re-reading the payload column (at 100 TB that is the whole game).
     null_bytes = pdf[pdf["bytes"].isna()]
-    keep = (
+    decodable = (
         pdf["bytes"].notna()
         & pdf["codec"].isin(pcm.CODEC_DOMAIN)
         & pdf["dur_ms"].notna()
         & (pdf["dur_ms"] > 0)
     )
-    sub = pdf[keep]
+    # null sr_hz would NaN→INT64_MIN silently under to_numpy(dtype=int64);
+    # surface those rows as explicit violations instead of garbage frames
+    null_sr = pdf[decodable & pdf["sr_hz"].isna()]
+    sub = pdf[decodable & pdf["sr_hz"].notna()]
     m = len(sub)
     cids = sub["clip_id"].to_numpy()
     parts = sub["part"].to_numpy()
@@ -133,26 +136,41 @@ def _decode_batch(
             "is_null_bytes": np.zeros(m, dtype=bool),
         }
     )
+    extras = []
     if len(null_bytes):
-        out = pd.concat(
-            [
-                out,
-                pd.DataFrame(
-                    {
-                        "clip_id": null_bytes["clip_id"].to_numpy(),
-                        "part": null_bytes["part"].to_numpy(),
-                        "decode_ok": False,
-                        "n_frames": 0,
-                        "expected_frames": 0,
-                        "snr_db": 0.0,
-                        "pcm_sha256": "",
-                        "reason": "null bytes",
-                        "is_null_bytes": True,
-                    }
-                ),
-            ],
-            ignore_index=True,
+        extras.append(
+            pd.DataFrame(
+                {
+                    "clip_id": null_bytes["clip_id"].to_numpy(),
+                    "part": null_bytes["part"].to_numpy(),
+                    "decode_ok": False,
+                    "n_frames": 0,
+                    "expected_frames": 0,
+                    "snr_db": 0.0,
+                    "pcm_sha256": "",
+                    "reason": "null bytes",
+                    "is_null_bytes": True,
+                }
+            )
         )
+    if len(null_sr):
+        extras.append(
+            pd.DataFrame(
+                {
+                    "clip_id": null_sr["clip_id"].to_numpy(),
+                    "part": null_sr["part"].to_numpy(),
+                    "decode_ok": False,
+                    "n_frames": 0,
+                    "expected_frames": 0,
+                    "snr_db": -1e9,  # below any threshold -> violation; empty
+                    "pcm_sha256": "",  # sha cannot rescue a null sample rate
+                    "reason": "null sr_hz",
+                    "is_null_bytes": False,
+                }
+            )
+        )
+    if extras:
+        out = pd.concat([out, *extras], ignore_index=True)
     return out
 
 
@@ -160,6 +178,9 @@ class AudioPayloadConstraint(Constraint):
     """decoded-PCM allclose (SNR>=30dB) OR sha-exact vs reference_decode."""
 
     partition_grain = False
+    # per-row decode: a partition's verdict never depends on other partitions,
+    # so the runner may resume at (constraint, partition) grain
+    partition_local = True
 
     def __init__(
         self,

@@ -113,6 +113,33 @@ class AuditLog:
                 out.add(c)
         return out
 
+    def part_results(self, run_id: str) -> dict[str, dict[str | None, tuple[str, int]]]:
+        """Latest per-(constraint, partition) pass/fail rows for a run:
+        {constraint: {part: (status, violation_count)}}. This is the
+        per-partition lineage used for (a) hydrating resumed-run reports and
+        (b) partition-grain resume of partition-local constraints — the
+        committed-set filter of import_coordination.clj:60-84 at partition
+        grain. Driver-side read (audit is metadata-sized)."""
+        if not self._exists():
+            return {}
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(self.path, format="parquet").to_table(
+            columns=["run_id", "constraint", "part", "status", "violation_count", "ts"]
+        )
+        cols = [tbl.column(c).to_pylist() for c in ["run_id", "constraint", "part", "status", "violation_count", "ts"]]
+        best: dict[tuple[str, str | None], tuple[str, int, float]] = {}
+        for rid, c, p, s, n, ts in zip(*cols):
+            if rid != run_id or s not in ("pass", "fail"):
+                continue
+            k = (c, p)
+            if k not in best or ts > best[k][2]:
+                best[k] = (s, int(n or 0), ts)
+        out: dict[str, dict[str | None, tuple[str, int]]] = {}
+        for (c, p), (s, n, _) in best.items():
+            out.setdefault(c, {})[p] = (s, n)
+        return out
+
     def verdicts(self, run_id: str) -> DataFrame:
         """Per-partition pass/fail matrix for a run."""
         return (

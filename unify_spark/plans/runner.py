@@ -85,14 +85,29 @@ class ValidationRunner:
         t_run = time.time()
         res = RunResult(run_id=self.ctx.run_id)
         done = self.audit.completed_constraints(self.ctx.run_id) if resume else set()
+        parts_done = self.audit.part_results(self.ctx.run_id) if resume else {}
         universes: dict[str, list[str]] = {}
         table_rows: dict[str, int] = {}
         lock = threading.Lock()
+
+        def hydrate(c: Constraint) -> None:
+            """Fill verdicts/counts for audit-recorded work so a resumed run's
+            report (and exit code) reflects prior results instead of silently
+            dropping them. Caller holds no lock (runs before stage threads or
+            inside the stage lock)."""
+            for name in getattr(c, "emits", [c.name]):
+                recorded = parts_done.get(name, {})
+                res.violation_counts[name] = res.violation_counts.get(name, 0) + sum(
+                    n for _, n in recorded.values()
+                )
+                for p, (s, _) in recorded.items():
+                    res.verdicts[(name, p)] = s == "pass"
 
         todo = []
         for c in constraints:
             if c.name in done:
                 res.skipped.append(c.name)
+                hydrate(c)
             else:
                 todo.append(c)
 
@@ -104,7 +119,44 @@ class ValidationRunner:
 
         def run_stage(c: Constraint) -> None:
             t0 = time.time()
-            vio = c.violations(tables, self.ctx)
+            universe = universes.get(c.table) or []
+            recorded = parts_done.get(c.name, {}) if resume else {}
+            # partition-grain resume: a partition-local constraint recomputes
+            # ONLY partitions missing from the audit (killed-mid-run recovery
+            # and incremental validation of newly-arrived partitions)
+            partial = bool(getattr(c, "partition_local", False) and recorded and universe)
+            stage_tables = tables
+            if partial:
+                pending = [p for p in universe if p not in recorded]
+                with lock:
+                    hydrate(c)
+                if not pending:
+                    with lock:
+                        res.skipped.append(c.name)
+                    self.audit.append(
+                        [
+                            {
+                                "run_id": self.ctx.run_id,
+                                "constraint": c.name,
+                                "part": None,
+                                "status": "done",
+                                "violation_count": sum(n for _, n in recorded.values()),
+                                "rows_checked": table_rows.get(c.table, 0),
+                                "wall_sec": 0.0,
+                            }
+                        ]
+                    )
+                    return
+                stage_tables = {
+                    **tables,
+                    c.table: tables[c.table].filter(
+                        F.col(self.ctx.part_col).isin(pending)
+                    ),
+                }
+            else:
+                pending = universe or [None]
+
+            vio = c.violations(stage_tables, self.ctx)
             # cache so the count aggregation and the capped write share ONE
             # computation of the (possibly expensive) constraint plan
             vio = vio.persist()
@@ -118,47 +170,58 @@ class ValidationRunner:
                 for r in per_part:
                     counts.setdefault(r["constraint"], {})[r["part"]] = r["n"]
                 total = sum(sum(d.values()) for d in counts.values())
+
+                emits = getattr(c, "emits", [c.name])
+                part_rows = []
+                with lock:
+                    for name in emits:
+                        name_counts = counts.get(name, {})
+                        res.violation_counts[name] = res.violation_counts.get(
+                            name, 0
+                        ) + sum(name_counts.values())
+                        res.rows_checked[name] = table_rows.get(c.table, 0)
+                        for p in pending:
+                            n = name_counts.get(p, 0)
+                            res.verdicts[(name, p)] = n == 0
+                            part_rows.append(
+                                {
+                                    "run_id": self.ctx.run_id,
+                                    "constraint": name,
+                                    "part": p,
+                                    "status": "pass" if n == 0 else "fail",
+                                    "violation_count": n,
+                                }
+                            )
+                # phase 1: part-grain lineage rows land BEFORE the violation
+                # write, so a kill mid-stage leaves a partial audit that the
+                # next run resumes at partition grain
+                self.audit.append(part_rows)
+
                 if total:
+                    # partial reruns append (prior parts' violation files stay);
+                    # fresh stages overwrite
+                    mode = "append" if partial else "overwrite"
                     vio.limit(self.ctx.violation_cap).coalesce(1).write.mode(
-                        "overwrite"
+                        mode
                     ).parquet(os.path.join(self.out_dir, "violations", _safe(c.name)))
             finally:
                 vio.unpersist()
 
-            parts = universes.get(c.table) or [None]
             wall = time.time() - t0
-            emits = getattr(c, "emits", [c.name])
-            audit_rows = []
-            with lock:
-                for name in emits:
-                    name_counts = counts.get(name, {})
-                    res.violation_counts[name] = sum(name_counts.values())
-                    res.rows_checked[name] = table_rows.get(c.table, 0)
-                    for p in parts:
-                        n = name_counts.get(p, 0)
-                        res.verdicts[(name, p)] = n == 0
-                        audit_rows.append(
-                            {
-                                "run_id": self.ctx.run_id,
-                                "constraint": name,
-                                "part": p,
-                                "status": "pass" if n == 0 else "fail",
-                                "violation_count": n,
-                            }
-                        )
-                audit_rows.append(
+            # phase 2: the stage 'done' marker — whole-stage resume key
+            self.audit.append(
+                [
                     {
                         "run_id": self.ctx.run_id,
                         "constraint": c.name,
                         "part": None,
                         "status": "done",
-                        "violation_count": total,
-                        "rows_checked": res.rows_checked[c.name],
+                        "violation_count": res.violation_counts.get(c.name, total),
+                        "rows_checked": res.rows_checked.get(c.name, 0),
                         "wall_sec": wall,
                     }
-                )
-            # audit append is its own parquet file per stage -> thread-safe
-            self.audit.append(audit_rows)
+                ]
+            )
 
         if self.ctx.fail_fast:
             for c in todo:
@@ -213,8 +276,24 @@ class ValidationRunner:
         t_run = time.time()
         res = RunResult(run_id=self.ctx.run_id)
         done = self.audit.completed_constraints(self.ctx.run_id) if resume else set()
-        todo = [c for c in constraints if c.name not in done]
-        res.skipped = [c.name for c in constraints if c.name in done]
+        parts_done = self.audit.part_results(self.ctx.run_id) if resume else {}
+
+        def hydrate(c: Constraint) -> None:
+            for name in getattr(c, "emits", [c.name]):
+                recorded = parts_done.get(name, {})
+                res.violation_counts[name] = res.violation_counts.get(name, 0) + sum(
+                    n for _, n in recorded.values()
+                )
+                for p, (s, _) in recorded.items():
+                    res.verdicts[(name, p)] = s == "pass"
+
+        todo = []
+        for c in constraints:
+            if c.name in done:
+                res.skipped.append(c.name)
+                hydrate(c)
+            else:
+                todo.append(c)
         if not todo:
             res.wall_sec = time.time() - t_run
             return res
@@ -226,23 +305,69 @@ class ValidationRunner:
                 table_rows[c.table] = tables[c.table].count()
                 universes[c.table] = self._partition_universe(tables, c.table)
 
+        # partition-grain resume (mirrors run()): partition-local constraints
+        # with recorded parts recompute only the missing partitions
+        stage_pending: dict[str, list[str] | list[None]] = {}
+        stage_tables: dict[str, dict[str, DataFrame]] = {}
+        live: list[Constraint] = []
+        for c in todo:
+            universe = universes.get(c.table) or []
+            recorded = parts_done.get(c.name, {}) if resume else {}
+            if getattr(c, "partition_local", False) and recorded and universe:
+                pending = [p for p in universe if p not in recorded]
+                hydrate(c)
+                if not pending:
+                    res.skipped.append(c.name)
+                    self.audit.append(
+                        [
+                            {
+                                "run_id": self.ctx.run_id,
+                                "constraint": c.name,
+                                "part": None,
+                                "status": "done",
+                                "violation_count": sum(n for _, n in recorded.values()),
+                                "rows_checked": table_rows.get(c.table, 0),
+                                "wall_sec": 0.0,
+                            }
+                        ]
+                    )
+                    continue
+                stage_pending[c.name] = pending
+                stage_tables[c.name] = {
+                    **tables,
+                    c.table: tables[c.table].filter(
+                        F.col(self.ctx.part_col).isin(pending)
+                    ),
+                }
+            else:
+                stage_pending[c.name] = universe or [None]
+                stage_tables[c.name] = tables
+            live.append(c)
+        todo = live
+        if not todo:
+            res.wall_sec = time.time() - t_run
+            return res
+
         # Row-local constraints (domain/range/required/composite/mapping)
         # fuse into ONE scan per table: their predicates become an exploded
         # violation-struct array, so the table's columns are read once for
-        # the whole family instead of once per constraint.
-        bundles: dict[str, list[Constraint]] = {}
+        # the whole family instead of once per constraint. Bundles group by
+        # (table, pending-partition set) so a partially-resumed constraint
+        # fuses only with stages scanning the same partition subset.
+        bundles: dict[tuple, list[Constraint]] = {}
         rest: list[Constraint] = []
         for c in todo:
             preds = getattr(c, "row_predicates", None)
             if preds is not None and c.table in tables and preds(self.ctx) is not None:
-                bundles.setdefault(c.table, []).append(c)
+                bkey = (c.table, tuple(stage_pending[c.name]))
+                bundles.setdefault(bkey, []).append(c)
             else:
                 rest.append(c)
 
         plans = [
-            _row_local_bundle_plan(tables[t], cs, t, self.ctx)
-            for t, cs in bundles.items()
-        ] + [c.violations(tables, self.ctx) for c in rest]
+            _row_local_bundle_plan(stage_tables[cs[0].name][t], cs, t, self.ctx)
+            for (t, _), cs in bundles.items()
+        ] + [c.violations(stage_tables[c.name], self.ctx) for c in rest]
         fused = plans[0]
         for p in plans[1:]:
             fused = fused.unionByName(p)
@@ -259,14 +384,19 @@ class ValidationRunner:
             }
             for r in counts_rows:
                 counts.setdefault(r["constraint"], {})[r["part"]] = r["n"]
-            # capped per-constraint violation rows, one partitioned write
+            # capped per-constraint violation rows, one partitioned write.
+            # dynamic partition overwrite: only the constraints present in
+            # THIS run's output are replaced — a resumed run must not wipe
+            # the violation files of stages it skipped.
             w = Window.partitionBy("constraint").orderBy(
                 F.col("key").asc_nulls_last(), F.col("column").asc_nulls_last()
             )
             capped = fused.withColumn("_rn", F.row_number().over(w)).filter(
                 F.col("_rn") <= self.ctx.violation_cap
             ).drop("_rn")
-            capped.write.mode("overwrite").partitionBy("constraint").parquet(
+            capped.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("constraint").parquet(
                 os.path.join(self.out_dir, "violations_fused")
             )
         finally:
@@ -279,9 +409,9 @@ class ValidationRunner:
             for name in getattr(c, "emits", [c.name]):
                 total = sum(counts.get(name, {}).values())
                 stage_total += total
-                res.violation_counts[name] = total
+                res.violation_counts[name] = res.violation_counts.get(name, 0) + total
                 res.rows_checked[name] = table_rows.get(c.table, 0)
-                for p in universes.get(c.table) or [None]:
+                for p in stage_pending[c.name]:
                     n = counts.get(name, {}).get(p, 0)
                     res.verdicts[(name, p)] = n == 0
                     audit_rows.append(
@@ -299,7 +429,7 @@ class ValidationRunner:
                     "constraint": c.name,
                     "part": None,
                     "status": "done",
-                    "violation_count": stage_total,
+                    "violation_count": res.violation_counts.get(c.name, stage_total),
                     "rows_checked": res.rows_checked[c.name],
                     "wall_sec": wall,
                 }
