@@ -31,7 +31,10 @@ def main() -> None:
         UniquenessConstraint,
     )
     from unify_spark.operators.base import ValidationContext
-    from unify_spark.operators.constraints import ReferentialIntegrityConstraint
+    from unify_spark.operators.constraints import (
+        EqualityAcrossTablesConstraint,
+        ReferentialIntegrityConstraint,
+    )
     from unify_spark.plans import audio_suite, load_audio_tables
     from unify_spark.plans.runner import _row_local_bundle_plan
     from unify_spark.session import get_spark
@@ -89,7 +92,39 @@ def main() -> None:
             "operate on the tiny densified histogram, not raw rows.",
             DriftConstraint("clips", "dur_ms").violations(tables, ctx),
         ),
+        (
+            "transcript equality (hash-only shuffle on the fact side)",
+            "CHECK: the clips-side Exchange carries (clip_id, xxhash64 long) "
+            "— the raw transcript column appears in the clips ReadSchema only "
+            "to feed xxhash64 and is NOT a join-side shuffle column; the "
+            "transcript_map side keeps its raw value for the violation "
+            "projection.",
+            EqualityAcrossTablesConstraint(
+                "clips", "transcript_map", on="clip_id",
+                left_col="transcript", right_col="transcript",
+                key_col="transcript_id",
+            ).violations(tables, ctx),
+        ),
     ]
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from unify_spark.functions import similarity
+
+        emb = spark.read.parquet(emb_path)
+        sections.append(
+            (
+                "LSH ANN (vectorized signatures + broadcast band join)",
+                "CHECK: exactly one MapInPandas per side (numpy matmul "
+                "signatures); BroadcastHashJoin on (band, sig) — the base "
+                "side has NO Exchange before the join; only the matched "
+                "candidate set reaches the dedup + window top-k.",
+                similarity.lsh_ann_topk(
+                    emb, emb.filter("vec_id < 5"), dim=64, k=5,
+                    n_planes=16, n_bands=4,
+                ),
+            )
+        )
 
     out = [
         "# PLANS — physical-plan audit of the core operators\n",

@@ -39,3 +39,67 @@ def test_staged_resume_and_fail_fast(spark, audio_tables, tmp_path):
     # fail-fast: first failing stage (uniqueness) kills the run
     assert len(res.violation_counts) == 1
     assert next(iter(res.violation_counts)).startswith("uniqueness:")
+
+
+def test_stage_error_trapped_and_reported(spark, tmp_path):
+    """Uncaught-exception trap: a throwing stage becomes an 'error' audit row
+    and res.errors; other stages still run; passed is False."""
+    from unify_spark.operators.base import Constraint
+    from unify_spark.operators.constraints import RangeConstraint
+
+    class Boom(Constraint):
+        name = "boom:t"
+        table = "t"
+
+        def violations(self, tables, ctx):
+            raise RuntimeError("kapow")
+
+    df = spark.createDataFrame([("a", 1.0, "p1")], ["clip_id", "val", "part_date"])
+    runner = ValidationRunner(spark, str(tmp_path), ValidationContext(run_id="e"))
+    res = runner.run({"t": df}, [Boom(), RangeConstraint("t", "val", min_value=0.0)])
+    assert res.errors == {"boom:t": "RuntimeError: kapow"}
+    assert not res.passed and res.total_violations == 0
+    assert ("range:t.val", "p1") in res.verdicts  # other stage completed
+    audit = runner.audit.read().filter("status = 'error'").collect()
+    assert [r["constraint"] for r in audit] == ["boom:t"]
+
+
+def test_write_partitioned_batch_rows_contract(spark, tmp_path):
+    import glob
+
+    from unify_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 2)) for i in range(100)], ["x", "part"]
+    ).coalesce(1)
+    out = str(tmp_path / "batched")
+    write_partitioned(df, out, ["part"], batch_rows=10)
+    files = glob.glob(out + "/part=*/*.parquet")
+    assert len(files) >= 10  # 100 rows / 10-per-file across 2 partitions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        write_partitioned(df, out, ["part"], batch_rows=0)
+
+
+def test_audit_append_retries_transient_failures(spark, tmp_path, monkeypatch):
+    from unify_spark.plans.audit import AuditLog
+
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    calls = {"n": 0}
+    real = AuditLog._append_once
+
+    def flaky(self, rows):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient store hiccup")
+        return real(self, rows)
+
+    monkeypatch.setattr(AuditLog, "_append_once", flaky)
+    audit.append(
+        [{"run_id": "r", "constraint": "c", "part": None, "status": "done",
+          "violation_count": 0}],
+        backoff_s=0.01,
+    )
+    assert calls["n"] == 3
+    assert audit.completed_constraints("r") == {"c"}

@@ -95,3 +95,38 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan  # no shuffle: co-located
     assert j.count() == 5_000
+
+
+def test_write_matrix_file_header_rewrite_and_constants(spark, tmp_path):
+    """matrix.clj:21-62 parity: header substitution map + constant columns."""
+    import glob
+
+    from unify_spark.sources.sinks import write_matrix_file
+
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g2", 2.0)], ["gene_name", "bc1"]
+    )
+    dest = str(tmp_path / "mtx")
+    write_matrix_file(
+        df, dest, header_map={"gene_name": "measurement.gene"},
+        constants={"dataset": "d1"},
+    )
+    part = glob.glob(dest + "/part-*.csv")[0]
+    lines = open(part).read().strip().split("\n")
+    assert lines[0] == "measurement.gene\tbc1\tdataset"
+    assert lines[1].endswith("\td1") and len(lines) == 3
+
+
+def test_upload_matrix_files_copies_tree(tmp_path):
+    from unify_spark.sources.sinks import upload_matrix_files
+
+    wd = tmp_path / "work"
+    (wd / "matrix").mkdir(parents=True)
+    (wd / "matrix" / "m1.tsv").write_text("a\tb\n1\t2\n")
+    (wd / "matrix" / "_SUCCESS").write_text("")
+    dest = tmp_path / "bucket"
+    keys = upload_matrix_files(str(wd), str(dest))
+    assert keys == ["m1.tsv"]
+    assert (dest / "m1.tsv").read_text().startswith("a\tb")
+    # no matrix dir -> noop (db.matrix/noop analogue)
+    assert upload_matrix_files(str(tmp_path / "nowhere"), str(dest)) == []

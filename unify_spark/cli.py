@@ -80,6 +80,44 @@ def cmd_validate(args) -> int:
     from unify_spark.sources import read_table
 
     spark = get_spark("unify-validate")
+
+    if args.config:
+        # config-file-driven run: tables + constraints + knobs all come from
+        # the YAML/JSON suite config (unify's config-driven import analogue,
+        # config.clj:594-660); CLI flags override where given
+        from unify_spark.plans import ValidationRunner
+        from unify_spark.plans.config import load_suite_config, load_tables
+
+        cfg = load_suite_config(args.config)
+        for n, p in _parse_tables(args.tables or []).items():
+            cfg.tables[n] = p
+        if args.run_id != "run-0":
+            cfg.run_id = args.run_id
+        tables = load_tables(spark, cfg)
+        runner = ValidationRunner(spark, args.out, cfg.context())
+        if args.fused:
+            res = runner.run_fused(tables, cfg.constraints, resume=not args.no_resume)
+        else:
+            res = runner.run(tables, cfg.constraints, resume=not args.no_resume)
+        if args.profile:
+            runner.profile(tables)
+        report = {
+            "run_id": res.run_id,
+            "passed": res.passed,
+            "total_violations": res.total_violations,
+            "violation_counts": res.violation_counts,
+            "skipped_stages": res.skipped,
+            "stage_errors": res.errors,
+            "wall_sec": round(res.wall_sec, 3),
+        }
+        print(json.dumps(report, indent=2, sort_keys=True))
+        if res.errors:
+            return 2
+        return 0 if res.passed else 1
+
+    if not args.tables:
+        print("error: --tables is required without --config", file=sys.stderr)
+        return 2
     table_paths = _parse_tables(args.tables)
     tables = {n: read_table(spark, p) for n, p in table_paths.items()}
     # payload cap must match the cap used when payloads were synthesized:
@@ -132,10 +170,42 @@ def cmd_validate(args) -> int:
         "total_violations": res.total_violations,
         "violation_counts": res.violation_counts,
         "skipped_stages": res.skipped,
+        "stage_errors": res.errors,
         "wall_sec": round(res.wall_sec, 3),
     }
     print(json.dumps(report, indent=2, sort_keys=True))
+    if res.errors:
+        return 2
     return 0 if res.passed else 1
+
+
+def cmd_compile_schema(args) -> int:
+    """compile-schema analogue (reference compile.clj:184-212): DSL file →
+    schema.json / metamodel.json / enums.json / metaschema.json."""
+    from unify_spark.schema.compile_dsl import compile_schema, load_dsl, write_schema_dir
+
+    mm = compile_schema(load_dsl(args.dsl))
+    paths = write_schema_dir(mm, args.out)
+    for name, p in sorted(paths.items()):
+        print(f"{name}: {p}")
+    return 0
+
+
+def cmd_infer_metaschema(args) -> int:
+    """infer-metaschema analogue (reference metaschema.clj:34-62): emit the
+    {tables, joins} query metaschema from a metamodel."""
+    from unify_spark.schema.compile_dsl import metaschema
+    from unify_spark.schema.model import Metamodel
+
+    with open(args.metamodel) as f:
+        mm = Metamodel.from_json(f.read())
+    out = json.dumps(metaschema(mm), indent=2, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
 
 
 def cmd_profile(args) -> int:
@@ -217,7 +287,9 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_infer_json_schema)
 
     s = sub.add_parser("validate", help="run a constraint suite, emit verdicts + audit")
-    s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
+    s.add_argument("--tables", nargs="*", default=[], metavar="name=path")
+    s.add_argument("--config", help="YAML/JSON suite config (tables + constraints); "
+                                    "--tables entries override config paths")
     s.add_argument("--metamodel", help="metamodel JSON; default = built-in audio suite")
     s.add_argument("--out", required=True)
     s.add_argument("--run-id", default="run-0")
@@ -234,6 +306,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--profile", action="store_true",
                    help="also persist column statistics to <out>/profile")
     s.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("compile-schema", help="compile a schema DSL (YAML/JSON) to artifacts")
+    s.add_argument("--dsl", required=True, help="DSL file: kind -> {id, parent, attributes}")
+    s.add_argument("--out", required=True, help="output directory for compiled artifacts")
+    s.set_defaults(fn=cmd_compile_schema)
+
+    s = sub.add_parser("infer-metaschema", help="emit {tables, joins} metaschema from a metamodel")
+    s.add_argument("--metamodel", required=True)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_infer_metaschema)
 
     s = sub.add_parser("profile", help="column statistics to parquet")
     s.add_argument("--tables", nargs="+", required=True, metavar="name=path")

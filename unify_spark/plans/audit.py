@@ -55,14 +55,29 @@ class AuditLog:
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
 
-    def append(self, rows: list[dict]) -> None:
+    def append(self, rows: list[dict], max_retries: int = 5, backoff_s: float = 0.2) -> None:
         """Driver-side append via pyarrow: the audit table is metadata-sized
         (rows ~ constraints × partitions), so writing it through a Spark job
         would cost more scheduling than data. The file layout stays a plain
         parquet directory Spark reads back for verdicts/resume. With an
-        Iceberg catalog this becomes a MERGE/append on the audit table."""
+        Iceberg catalog this becomes a MERGE/append on the audit table.
+
+        App-level retry with scaled backoff mirrors the reference's transact
+        retry policy (db/transact.clj:128-136: bounded retries, scaled
+        backoff) — transient filesystem/object-store failures must not lose
+        lineage; the bound is small because each append is a tiny local
+        write, not a distributed transaction."""
         if not rows:
             return
+        for attempt in range(max_retries):
+            try:
+                return self._append_once(rows)
+            except OSError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(backoff_s * (2**attempt))
+
+    def _append_once(self, rows: list[dict]) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 

@@ -1,0 +1,220 @@
+"""Config-file-driven validation runs: YAML/JSON suite config → constraint
+plan → runner.
+
+This is the Spark analogue of unify's config-driven import — an EDN/YAML
+config parsed into directive jobs (reference
+src/com/vendekagonlabs/unify/import/engine/parse/config.clj:594-660,
+src/com/vendekagonlabs/unify/util/yaml.clj:75-103). A suite config names the
+tables and declares one entry per constraint; every constraint family the
+engine implements is constructible from config, so a full validation run
+needs zero Python.
+
+Schema (YAML or JSON — chosen by file extension):
+
+    run_id: r42                 # optional, default run-0
+    part_col: part_date         # optional
+    payload_cap_ms: 50          # optional (null = full duration)
+    violation_cap: 1000         # optional
+    fail_fast: false            # optional
+    tables:
+      clips: /path/clips
+      transcript_map: /path/map.parquet
+    constraints:
+      - {type: uniqueness, table: clips, keys: [clip_id]}
+      - {type: referential, child_table: transcript_map, child_key: clip_id,
+         parent_table: clips, parent_key: clip_id, key_col: transcript_id}
+      - {type: domain, table: clips, column: codec, dim_table: codec_domain}
+      - {type: range, table: clips, column: dur_ms, min: 0, max: 30000,
+         min_exclusive: true}
+      - {type: required, table: clips, columns: [transcript], na_tokens: [NA]}
+      - {type: regex, table: clips, column: clip_id, pattern: '^clip-'}
+      - {type: length, table: clips, column: transcript, max_len: 256}
+      - {type: any_present, table: clips, columns: [a, b]}
+      - {type: conditional, table: clips, when: "codec = 'flac'",
+         then_required: [bytes]}
+      - {type: composite_id, table: t, id_col: id, components: [a, b], sep: '-'}
+      - {type: enum_mapping, table: t, column: c, mapping: {x: y}}
+      - {type: equality, left_table: clips, right_table: transcript_map,
+         on: clip_id, left_col: transcript, right_col: transcript}
+      - {type: upsert_conflict, table: t, keys: [k], compare: [v1, v2]}
+      - {type: payload, table: clips, reference_table: reference_decode}
+      - {type: drift, table: clips, column: dur_ms, bounds: [0, 30000]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unify_spark.operators import (
+    AnyPresentConstraint,
+    AudioPayloadConstraint,
+    CompositeIdConstraint,
+    ConditionalConstraint,
+    Constraint,
+    DomainConstraint,
+    DriftConstraint,
+    EnumMappingConstraint,
+    EqualityAcrossTablesConstraint,
+    LengthConstraint,
+    RangeConstraint,
+    ReferentialIntegrityConstraint,
+    RegexConstraint,
+    RequiredConstraint,
+    UniquenessConstraint,
+    ValidationContext,
+)
+from unify_spark.operators.constraints import UpsertConflictConstraint
+
+
+@dataclass
+class SuiteConfig:
+    tables: dict[str, str]
+    constraints: list[Constraint]
+    run_id: str = "run-0"
+    part_col: str = "part_date"
+    payload_cap_ms: int | None = 50
+    violation_cap: int = 1000
+    fail_fast: bool = False
+    raw: dict = field(default_factory=dict)
+
+    def context(self) -> ValidationContext:
+        return ValidationContext(
+            run_id=self.run_id,
+            part_col=self.part_col,
+            payload_cap_ms=self.payload_cap_ms,
+            violation_cap=self.violation_cap,
+            fail_fast=self.fail_fast,
+        )
+
+
+def _build_constraint(spec: dict) -> Constraint:
+    t = spec.get("type")
+    if t == "uniqueness":
+        return UniquenessConstraint(
+            spec["table"], list(spec["keys"]), salted=bool(spec.get("salted", True))
+        )
+    if t == "referential":
+        return ReferentialIntegrityConstraint(
+            spec["child_table"],
+            spec["child_key"],
+            spec["parent_table"],
+            spec["parent_key"],
+            strategy=spec.get("strategy", "auto"),
+            key_col=spec.get("key_col"),
+        )
+    if t == "domain":
+        return DomainConstraint(
+            spec["table"],
+            spec["column"],
+            allowed=spec.get("allowed"),
+            dim_table=spec.get("dim_table"),
+            dim_key=spec.get("dim_key"),
+        )
+    if t == "range":
+        return RangeConstraint(
+            spec["table"],
+            spec["column"],
+            min_value=spec.get("min"),
+            max_value=spec.get("max"),
+            allowed_set=spec.get("allowed_set"),
+            min_exclusive=bool(spec.get("min_exclusive", False)),
+        )
+    if t == "required":
+        return RequiredConstraint(
+            spec["table"], list(spec["columns"]), na_tokens=spec.get("na_tokens")
+        )
+    if t == "regex":
+        if "alphabet" in spec:
+            return RegexConstraint.char_domain(spec["table"], spec["column"], spec["alphabet"])
+        return RegexConstraint(
+            spec["table"], spec["column"], spec["pattern"], description=spec.get("description")
+        )
+    if t == "length":
+        return LengthConstraint(
+            spec["table"], spec["column"], max_len=int(spec["max_len"]),
+            min_len=int(spec.get("min_len", 0)),
+        )
+    if t == "any_present":
+        return AnyPresentConstraint(spec["table"], list(spec["columns"]))
+    if t == "conditional":
+        return ConditionalConstraint(spec["table"], spec["when"], list(spec["then_required"]))
+    if t == "composite_id":
+        return CompositeIdConstraint(
+            spec["table"], spec["id_col"], list(spec["components"]), sep=spec.get("sep", "-")
+        )
+    if t == "enum_mapping":
+        return EnumMappingConstraint(spec["table"], spec["column"], dict(spec["mapping"]))
+    if t == "equality":
+        return EqualityAcrossTablesConstraint(
+            spec["left_table"],
+            spec["right_table"],
+            on=spec["on"],
+            left_col=spec["left_col"],
+            right_col=spec["right_col"],
+            key_col=spec.get("key_col"),
+        )
+    if t == "upsert_conflict":
+        return UpsertConflictConstraint(spec["table"], list(spec["keys"]), list(spec["compare"]))
+    if t == "payload":
+        return AudioPayloadConstraint(
+            spec.get("table", "clips"),
+            spec.get("reference_table", "reference_decode"),
+            snr_threshold_db=float(spec.get("snr_threshold_db", 30.0)),
+            null_bytes_constraint=spec.get("null_bytes_constraint"),
+        )
+    if t == "drift":
+        bounds = spec.get("bounds")
+        return DriftConstraint(
+            spec["table"],
+            spec["column"],
+            n_bins=int(spec.get("n_bins", 20)),
+            psi_threshold=float(spec.get("psi_threshold", 0.25)),
+            ks_threshold=float(spec.get("ks_threshold", 0.15)),
+            bounds=tuple(bounds) if bounds else None,
+        )
+    raise ValueError(f"unknown constraint type: {t!r}")
+
+
+def parse_suite_config(doc: dict, base_dir: str = ".") -> SuiteConfig:
+    """Build a SuiteConfig from an already-parsed config document. Relative
+    table paths resolve against ``base_dir`` (the config file's directory)."""
+    tables = {
+        name: (p if os.path.isabs(p) else os.path.join(base_dir, p))
+        for name, p in dict(doc.get("tables", {})).items()
+    }
+    constraints = [_build_constraint(s) for s in doc.get("constraints", [])]
+    if not constraints:
+        raise ValueError("suite config declares no constraints")
+    return SuiteConfig(
+        tables=tables,
+        constraints=constraints,
+        run_id=doc.get("run_id", "run-0"),
+        part_col=doc.get("part_col", "part_date"),
+        payload_cap_ms=doc.get("payload_cap_ms", 50),
+        violation_cap=int(doc.get("violation_cap", 1000)),
+        fail_fast=bool(doc.get("fail_fast", False)),
+        raw=doc,
+    )
+
+
+def load_suite_config(path: str) -> SuiteConfig:
+    """Load a YAML (.yaml/.yml) or JSON (.json) suite config file."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        doc = yaml.safe_load(text)
+    else:
+        doc = json.loads(text)
+    return parse_suite_config(doc, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def load_tables(spark: SparkSession, cfg: SuiteConfig) -> dict[str, DataFrame]:
+    from unify_spark.sources import read_table
+
+    return {name: read_table(spark, p) for name, p in cfg.tables.items()}

@@ -29,6 +29,7 @@ class RunResult:
     violation_counts: dict[str, int] = field(default_factory=dict)
     rows_checked: dict[str, int] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    errors: dict[str, str] = field(default_factory=dict)  # constraint -> message
     wall_sec: float = 0.0
 
     @property
@@ -37,7 +38,7 @@ class RunResult:
 
     @property
     def passed(self) -> bool:
-        return self.total_violations == 0
+        return self.total_violations == 0 and not self.errors
 
 
 class ValidationRunner:
@@ -208,7 +209,12 @@ class ValidationRunner:
                 vio.unpersist()
 
             wall = time.time() - t0
-            # phase 2: the stage 'done' marker — whole-stage resume key
+            # phase 2: the stage 'done' marker — whole-stage resume key;
+            # count covers every name the stage emits (payload also emits
+            # the bytes-nullness constraint)
+            stage_count = sum(
+                res.violation_counts.get(n, 0) for n in getattr(c, "emits", [c.name])
+            )
             self.audit.append(
                 [
                     {
@@ -216,23 +222,47 @@ class ValidationRunner:
                         "constraint": c.name,
                         "part": None,
                         "status": "done",
-                        "violation_count": res.violation_counts.get(c.name, total),
+                        "violation_count": stage_count,
                         "rows_checked": res.rows_checked.get(c.name, 0),
                         "wall_sec": wall,
                     }
                 ]
             )
 
+        def run_stage_trapped(c: Constraint) -> None:
+            """Uncaught-exception trap (reference validation report +
+            engine.clj's anomaly channel): a stage that throws is recorded as
+            an 'error' audit row and the run report instead of killing the
+            other stages (fail-at-end); fail_fast re-raises."""
+            try:
+                run_stage(c)
+            except Exception as e:  # noqa: BLE001 — trap IS the contract
+                with lock:
+                    res.errors[c.name] = f"{type(e).__name__}: {e}"
+                self.audit.append(
+                    [
+                        {
+                            "run_id": self.ctx.run_id,
+                            "constraint": c.name,
+                            "part": None,
+                            "status": "error",
+                            "violation_count": None,
+                        }
+                    ]
+                )
+                if self.ctx.fail_fast:
+                    raise
+
         if self.ctx.fail_fast:
             for c in todo:
-                run_stage(c)
+                run_stage_trapped(c)
                 if any(res.violation_counts.get(n) for n in getattr(c, "emits", [c.name])):
                     # reference semantics: first anomaly kills the job
                     # (src/com/vendekagonlabs/unify/import/engine.clj:166-181)
                     break
         else:
             with ThreadPoolExecutor(max_workers=max(1, max_concurrency)) as ex:
-                list(ex.map(run_stage, todo))
+                list(ex.map(run_stage_trapped, todo))
 
         res.wall_sec = time.time() - t_run
         return res
@@ -429,7 +459,10 @@ class ValidationRunner:
                     "constraint": c.name,
                     "part": None,
                     "status": "done",
-                    "violation_count": res.violation_counts.get(c.name, stage_total),
+                    "violation_count": sum(
+                        res.violation_counts.get(n, 0)
+                        for n in getattr(c, "emits", [c.name])
+                    ),
                     "rows_checked": res.rows_checked[c.name],
                     "wall_sec": wall,
                 }
