@@ -272,6 +272,16 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate NN for the first 5 vectors (rows-only): deterministic
+    spherical k-means quantizer, n_probe cell probing, exact cosine re-rank
+    (see similarity.ivf_ann_topk; recall pinned in tests)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_ann_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4)
+    return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
 def q_uid_synthesis(spark: SparkSession, sf: str) -> DataFrame:
     """Identity model (SURVEY §1.4): context-scoped UID path join + md5
     hashing (unify's 256-char tuple workaround, tx_data.clj:67-85)."""
@@ -469,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_candidates": q_simhash_candidates,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_lsh_ann": q_lsh_ann,
+        "q_ivf_ann": q_ivf_ann,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,

@@ -146,3 +146,47 @@ def test_lsh_band_signatures_deterministic(spark):
     )
     assert {r["band"] for r in a} == {0, 1}
     assert all(0 <= r["sig"] < 16 for r in a)
+
+
+def test_ivf_ann_recall_vs_exact_topk(spark):
+    """IVF probe path must recover most of the exact top-k set; centroids
+    are deterministic so the test is stable."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows = [(i, rng.normal(size=16).astype("float64").tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+
+    k = 5
+    out = similarity.ivf_ann_topk(
+        df, queries, dim=16, k=k, n_cells=8, n_probe=4, iters=2
+    )
+    got = {(r["id_q"], r["id_b"]) for r in out.collect()}
+
+    V = np.stack([np.array(r[1]) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn[:3] @ Vn.T
+    hits = 0
+    for q in range(3):
+        order = np.argsort(-sims[q])
+        exact = [int(i) for i in order if i != q][:k]
+        hits += sum((q, b) in got for b in exact)
+    assert hits / (3 * k) >= 0.6  # probing half the cells
+
+
+def test_ivf_centroids_deterministic_and_reusable(spark):
+    import numpy as np
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = similarity.ivf_train_centroids(df, dim=8, n_cells=4, iters=2)
+    c2 = similarity.ivf_train_centroids(df, dim=8, n_cells=4, iters=2)
+    assert np.allclose(c1, c2)
+    # reusing the trained quantizer skips retraining and gives same answers
+    q = df.filter(F.col("vec_id") == 0)
+    a = {(r["id_q"], r["id_b"], r["rank"]) for r in
+         similarity.ivf_ann_topk(df, q, dim=8, k=3, n_cells=4, centroids=c1).collect()}
+    b = {(r["id_q"], r["id_b"], r["rank"]) for r in
+         similarity.ivf_ann_topk(df, q, dim=8, k=3, n_cells=4, centroids=c2).collect()}
+    assert a == b and len(a) == 3

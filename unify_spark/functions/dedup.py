@@ -56,6 +56,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _drop_hot_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``cap`` members before the self-join.
+
+    At 10^9 documents a boilerplate-heavy bucket of 10^6 members emits
+    10^12 pairs from ONE key — no amount of AQE skew-splitting survives
+    that; the standard guard is a bucket-size cap. Members of an
+    over-cap bucket are near-certain exact/near duplicates of each other,
+    which ``exact_duplicates`` (hash groupBy — linear, skew-immune) already
+    reports; the cap only suppresses their quadratic re-derivation here.
+    The hot-bucket set is tiny → broadcast anti-join."""
+    if cap is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -63,14 +84,17 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band bucket.
 
     Scale design: the self-join is on (band_id, band_hash) — uniformly
-    distributed 64-bit buckets, so the shuffle partitions evenly; hot buckets
-    (boilerplate docs) are the skew risk and AQE skew-join handles them.
-    Output is (id_a < id_b) candidate pairs with the estimated Jaccard from
-    full-signature agreement.
+    distributed 64-bit buckets, so the shuffle partitions evenly; moderately
+    hot buckets are AQE skew-join's job, and pathologically hot buckets
+    (boilerplate corpora) are cut by ``max_bucket_size`` (see
+    _drop_hot_buckets — their members are exact-dedup's findings, not
+    candidate-join work). Output is (id_a < id_b) candidate pairs with the
+    estimated Jaccard from full-signature agreement.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -92,6 +116,7 @@ def minhash_candidates(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
+    banded = _drop_hot_buckets(banded, ["band_id", "band_hash"], max_bucket_size)
     # symmetric ALIAS self-join: both sides are the identical subplan (same
     # scan, projections, exchange), so Spark's exchange reuse can evaluate
     # the signature pipeline once instead of twice — measured ~40% faster
@@ -142,11 +167,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 16,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup candidates: documents sharing any of the 64/band_bits simhash
     bands (Hamming-distance blocking), with exact Hamming distance attached
-    via bit_count(xor)."""
+    via bit_count(xor). Pathologically hot bands are cut by
+    ``max_bucket_size`` (see _drop_hot_buckets)."""
     sh = simhash(df, id_col, text_col)
     n_bands = 63 // band_bits
     banded = sh.select(
@@ -166,6 +196,7 @@ def simhash_candidates(
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_val")
+    banded = _drop_hot_buckets(banded, ["band_id", "band_val"], max_bucket_size)
     # symmetric alias self-join → exchange reuse (see minhash_candidates)
     a, b = banded.alias("a"), banded.alias("b")
     return (

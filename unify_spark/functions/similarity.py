@@ -152,6 +152,149 @@ def lsh_band_signatures(
     return wide.select(out_id, out_vec, F.posexplode("sigs").alias("band", "sig"))
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: spherical k-means over the
+    (L2-normalized) vectors, initialized from the seeded hyperplane
+    pseudo-gaussians so training is reproducible without sampling.
+
+    Distributed shape per iteration: ONE mapInPandas computes per-batch
+    partial sums (cell → vector sum + count) via a numpy argmax against the
+    broadcast centroid matrix, and a tiny groupBy(cell) reduces the
+    per-dimension partials — the shuffle carries n_cells × dim doubles per
+    batch, never vectors. Centroids (n_cells × dim floats) live on the
+    driver like any broadcast model. Returns a numpy array."""
+    import numpy as np
+    import pandas as pd
+
+    C = _hyperplane_matrix(dim, n_cells).T.astype(np.float64)  # n_cells × dim
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    slim = df.select(_as_double(vec_col).alias("v"))
+
+    for _ in range(iters):
+        Cb = C  # rebind for closure capture per iteration
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax(Vn @ Cb.T, axis=1)
+                rows = {"cell": [], "vsum": [], "n": []}
+                for c in np.unique(cells):
+                    m = cells == c
+                    rows["cell"].append(int(c))
+                    rows["vsum"].append(V[m].sum(axis=0).tolist())
+                    rows["n"].append(int(m.sum()))
+                yield pd.DataFrame(rows)
+
+        agg = (
+            slim.mapInPandas(partials, "cell int, vsum array<double>, n long")
+            .groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("vsum"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("vsum"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        C = C.copy()
+        for r in agg:
+            if r["n"]:
+                mean = np.array(r["vsum"]) / r["n"]
+                norm_ = np.linalg.norm(mean)
+                if norm_ > 1e-12:
+                    C[r["cell"]] = mean / norm_
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "id",
+    out_vec: str = "v",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells (one row
+    per (vector, probed cell)); numpy matmul per Arrow batch. n_probe=1 for
+    indexing the base side; >1 on the query side trades latency for recall."""
+    import numpy as np
+    import pandas as pd
+
+    C = centroids / np.maximum(
+        __import__("numpy").linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    slim = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
+    schema = f"{out_id} {id_type}, {out_vec} array<double>, cells array<int>"
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[out_vec].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+            yield pd.DataFrame(
+                {out_id: pdf[out_id], out_vec: pdf[out_vec], "cells": list(top)}
+            )
+
+    wide = slim.mapInPandas(assign, schema=schema)
+    return wide.select(out_id, out_vec, F.explode("cells").alias("cell"))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate NN — the second scale path next to hyperplane LSH:
+    a coarse quantizer routes vectors to cells, queries probe their
+    ``n_probe`` nearest cells, exact cosine re-ranks inside probed cells.
+
+    Plan shape: base vectors get ONE cell row each (no fan-out); the small
+    query side fans out n_probe ways and broadcast-joins on cell, so the
+    base is never shuffled. Recall grows with n_probe (and cell count sizes
+    the candidate set: E[candidates] ≈ N × n_probe / n_cells). Pass
+    ``centroids`` to reuse a trained quantizer across queries (the IVF
+    "index")."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train_centroids(df, dim, n_cells, iters, vec_col)
+    base = ivf_assign(df, centroids, id_col, vec_col, "id_b", "vb", n_probe=1)
+    qs = ivf_assign(queries, centroids, id_col, vec_col, "id_q", "vq", n_probe=n_probe)
+    joined = base.join(F.broadcast(qs), on="cell").where(
+        F.col("id_b") != F.col("id_q")
+    )
+    scored = joined.select(
+        "id_q", "id_b", cosine(F.col("vq"), F.col("vb")).alias("cos_sim")
+    ).dropDuplicates(["id_q", "id_b"])
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos_sim"), F.col("id_b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,
