@@ -282,6 +282,28 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clustering via distributed connected components over
+    exact-fingerprint star edges (each doc → its group's min id). The CC
+    operator is the same one the near-dup pipeline uses on LSH candidate
+    edges (graph.duplicate_clusters); phrasing the edges from fingerprints
+    makes the result SQL-oracle-checkable (min-per-fingerprint window)."""
+    from unify_spark.functions.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    fp = docs.select("doc_id", text.fingerprint("text").alias("fp"))
+    roots = fp.groupBy("fp").agg(F.min("doc_id").alias("root"))
+    edges = fp.join(roots, on="fp").select(
+        F.col("doc_id").alias("src"), F.col("root").alias("dst")
+    )
+    cc = connected_components(edges, "src", "dst")
+    return (
+        fp.select("doc_id")
+        .join(cc, fp["doc_id"] == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster"))
+    )
+
+
 def q_uid_synthesis(spark: SparkSession, sf: str) -> DataFrame:
     """Identity model (SURVEY §1.4): context-scoped UID path join + md5
     hashing (unify's 256-char tuple workaround, tx_data.clj:67-85)."""
@@ -480,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_lsh_ann": q_lsh_ann,
         "q_ivf_ann": q_ivf_ann,
+        "q_dup_clusters": q_dup_clusters,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
@@ -673,6 +696,13 @@ def oracle_sql() -> dict[str, str]:
         "q_tdigest_quantiles": """
             SELECT l_returnflag AS part, TRUE AS p50_ok, TRUE AS p95_ok
             FROM lineitem GROUP BY 1
+        """,
+        "q_dup_clusters": r"""
+            SELECT doc_id,
+                   MIN(doc_id) OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ) AS cluster
+            FROM documents
         """,
         "q_regex_violations": """
             SELECT CAST(doc_id AS VARCHAR) AS key, source AS observed

@@ -190,3 +190,48 @@ def test_ivf_centroids_deterministic_and_reusable(spark):
     b = {(r["id_q"], r["id_b"], r["rank"]) for r in
          similarity.ivf_ann_topk(df, q, dim=8, k=3, n_cells=4, centroids=c2).collect()}
     assert a == b and len(a) == 3
+
+
+def test_connected_components_basic(spark):
+    from unify_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 5)], ["src", "dst"]
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}  # self-loop 5 dropped
+
+
+def test_connected_components_chain_diameter(spark):
+    from unify_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"]
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 10
+
+
+def test_duplicate_clusters_and_canonical(spark):
+    from unify_spark.functions.graph import canonical_docs, duplicate_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees of the old forest"
+    )
+    rows = [
+        (0, base, 0.9),
+        (1, base.replace("lazy", "sleepy"), 0.7),   # near-dup of 0
+        (2, base, 0.95),                            # exact dup of 0
+        (3, "completely different content about catalyst optimizer rules "
+            "for petabyte scale partition pruning in spark", 0.5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    clusters = duplicate_clusters(df, "doc_id", "text", min_est_jaccard=0.5)
+    got = {r["doc_id"]: r["cluster"] for r in clusters.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3  # singleton keeps own id
+
+    kept = canonical_docs(df, clusters, prefer="quality")
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert kept_ids == [2, 3]  # highest quality in the dup cluster + singleton
