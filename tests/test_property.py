@@ -58,3 +58,83 @@ def test_tdigest_quantiles_monotone_and_bounded(vals):
     qs = [td.quantile(d, q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)]
     assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))  # monotone
     assert v.min() - 1e-9 <= qs[0] and qs[-1] <= v.max() + 1e-9  # bounded
+
+
+# --- constraint-family properties (Spark plans vs a Python reference) -------
+# one DataFrame per test (hypothesis generates the row set once per example,
+# capped small so Spark round-trips stay fast)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pspark():
+    from unify_spark.session import get_spark
+
+    return get_spark("prop-tests", master="local[4]", shuffle_partitions=4)
+
+
+_texts = st.lists(
+    st.one_of(st.none(), st.text(alphabet="ABXY z.,!", max_size=20)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts)
+def test_char_domain_matches_python_reference(pspark, vals):
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import RegexConstraint
+
+    df = pspark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "clip_id int, s string"
+    )
+    c = RegexConstraint.char_domain("t", "s", "ABXY z.,!"[:4])  # alphabet ABXY
+    got = {r["key"] for r in c.violations({"t": df}, ValidationContext()).collect()}
+    want = {
+        str(i)
+        for i, v in enumerate(vals)
+        if v is not None and any(ch not in "ABXY" for ch in v)
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts, st.integers(min_value=0, max_value=12))
+def test_length_cap_matches_python_reference(pspark, vals, cap):
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import LengthConstraint
+
+    df = pspark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "clip_id int, s string"
+    )
+    c = LengthConstraint("t", "s", max_len=cap)
+    got = {r["key"] for r in c.violations({"t": df}, ValidationContext()).collect()}
+    want = {str(i) for i, v in enumerate(vals) if v is not None and len(v) > cap}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(allow_nan=False, min_value=-5, max_value=5)),
+            st.one_of(st.none(), st.floats(allow_nan=False, min_value=-5, max_value=5)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_any_present_matches_python_reference(pspark, rows):
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import AnyPresentConstraint
+
+    df = pspark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "clip_id int, a double, b double",
+    )
+    c = AnyPresentConstraint("t", ["a", "b"])
+    got = {r["key"] for r in c.violations({"t": df}, ValidationContext()).collect()}
+    want = {str(i) for i, (a, b) in enumerate(rows) if a is None and b is None}
+    assert got == want

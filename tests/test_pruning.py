@@ -30,3 +30,44 @@ def test_filter_pushdown_and_pruning(spark, audio_tables):
     assert "PushedFilters: [IsNotNull(sr_hz), EqualTo(sr_hz,16000)]" in plan
     # column pruning: bytes/transcript never read
     assert "ReadSchema: struct<clip_id:string,sr_hz:int>" in plan
+
+
+def test_equality_constraint_shuffles_hashes_not_text(spark, audio_tables):
+    """The clips-side exchange of the transcript-equality join must carry an
+    8-byte xxhash64, never the raw transcript string (at 100 TB the text IS
+    the table)."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import EqualityAcrossTablesConstraint
+
+    c = EqualityAcrossTablesConstraint(
+        "clips", "transcript_map", on="clip_id",
+        left_col="transcript", right_col="transcript", key_col="transcript_id",
+    )
+    vio = c.violations(audio_tables, ValidationContext())
+    formatted = vio._jdf.queryExecution().executedPlan().toString()
+    # the clips-side projection hashes transcript before any exchange
+    assert "xxhash64(transcript" in formatted
+    # and the clips scan reads only (clip_id, transcript) — no payload bytes
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", _plan(vio))
+    clips_scans = [s for s in scans if "transcript:string" in s and "transcript_id" not in s]
+    assert clips_scans and all("bytes" not in s for s in clips_scans)
+
+
+def test_lsh_ann_base_side_not_shuffled(spark):
+    """The LSH-ANN band join must broadcast the query side: no Exchange
+    between the base side's MapInPandas and the join."""
+    from unify_spark.functions import similarity
+
+    rows = [(i, [float(i % 7), 1.0, -1.0, 0.5]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.lsh_ann_topk(df, df.filter("vec_id < 2"), dim=4, k=3,
+                                  n_planes=8, n_bands=2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # base side: Scan -> MapInPandas -> Generate -> Join with no Exchange in
+    # between. The tree prints top-down, so the base branch is the text
+    # between the join node and its BroadcastExchange (the query side).
+    base_branch = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "MapInPandas" in base_branch
+    assert "Exchange hashpartitioning" not in base_branch
