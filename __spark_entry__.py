@@ -304,6 +304,28 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multihop_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-hop datalog-style join chain (SURVEY §2.3, reference
+    query.clj:25-29): lineitem→orders→customer→nation→region rolled up to
+    per-region revenue. Region/nation are broadcast dims; the fact-fact hop
+    shuffles on the join key only."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", rev)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_uid_synthesis(spark: SparkSession, sf: str) -> DataFrame:
     """Identity model (SURVEY §1.4): context-scoped UID path join + md5
     hashing (unify's 256-char tuple workaround, tx_data.clj:67-85)."""
@@ -503,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann": q_lsh_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_dup_clusters": q_dup_clusters,
+        "q_multihop_revenue": q_multihop_revenue,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
@@ -696,6 +719,17 @@ def oracle_sql() -> dict[str, str]:
         "q_tdigest_quantiles": """
             SELECT l_returnflag AS part, TRUE AS p50_ok, TRUE AS p95_ok
             FROM lineitem GROUP BY 1
+        """,
+        "q_multihop_revenue": """
+            SELECT r_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "q_dup_clusters": r"""
             SELECT doc_id,
