@@ -163,3 +163,47 @@ def test_running_violation_counts_state(spark, tmp_path):
         latest[r["part"]] = (r["n_rows"], r["n_violations"])
     assert latest["p1"] == (3, 2)  # running totals across both batches
     assert latest["p2"] == (1, 0)
+
+
+def test_row_level_stream_covers_new_families(spark, tmp_path):
+    """regex/length/any-present/conditional validate on a stream via the
+    same row_predicates the batch bundle fuses."""
+    from unify_spark.operators.constraints import (
+        ConditionalConstraint,
+        LengthConstraint,
+        RegexConstraint,
+    )
+    from unify_spark.streaming.validate import validate_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ("ok-1", "short", "gated", 1.0),
+            ("BAD 2", "short", "clustered", None),       # regex fails
+            ("ok-3", "x" * 50, "gated", 2.0),            # length fails
+            ("ok-4", "short", "gated", None),            # conditional fails
+        ],
+        "clip_id string, name string, kind string, val double",
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    suite = [
+        RegexConstraint("clips", "clip_id", "^[a-z0-9-]+$"),
+        LengthConstraint("clips", "name", max_len=20),
+        ConditionalConstraint("clips", "kind = 'gated'", ["val"]),
+    ]
+    sink = str(tmp_path / "sink")
+    q = (
+        validate_stream(stream, suite)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["clip_id"]: set(r["violations"]) for r in spark.read.parquet(sink).collect()}
+    assert out["ok-1"] == set()
+    assert out["BAD 2"] == {"regex:clips.clip_id"}
+    assert out["ok-3"] == {"length:clips.name"}
+    assert out["ok-4"] == {"conditional:clips.when(kind = 'gated')"}

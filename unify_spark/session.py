@@ -25,8 +25,11 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # keep Arrow batches a few MB when wide binary columns cross the JVM→
     # Python boundary: 10k-row batches of ~2.4 KB payloads measured 4-15x
-    # SLOWER at 32 concurrent workers (allocation pressure); 2048 rows keeps
-    # per-batch buffers ~5 MB and restores linear scaling
+    # SLOWER at 32 concurrent workers (allocation pressure); 2048 keeps
+    # per-batch buffers ~5 MB. A 2048/4096/8192 sweep on the ISOLATED
+    # payload stage at 8 workers favored 4096 (27.7/22.4/24.3s), but the
+    # win inverts when the fused suite runs other stages concurrently
+    # (4N suite throughput dropped ~7% at 4096), so the default stays 2048.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "128m",
     # fixture tables are hive-partitioned by part_date=YYYY-MM-DD; keep the

@@ -27,43 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from unify_spark.operators.base import Constraint, ValidationContext
-from unify_spark.operators.constraints import (
-    CompositeIdConstraint,
-    DomainConstraint,
-    RangeConstraint,
-    RequiredConstraint,
-)
-
-_ROW_LOCAL = (DomainConstraint, RangeConstraint, RequiredConstraint, CompositeIdConstraint)
 
 
-def row_level_violation_expr(constraints: list[Constraint]) -> F.Column:
-    """Array of failed-constraint names per row, from the row-local subset."""
+def row_level_violation_expr(
+    constraints: list[Constraint], ctx: ValidationContext | None = None
+) -> F.Column:
+    """Array of failed-constraint names per row, from the row-local subset.
+
+    Built from each constraint's ``row_predicates`` — the SAME fused
+    predicate form the batch runner's single-scan bundle uses — so every
+    row-local family (domain, range, required+na-tokens, composite-id,
+    enum-mapping, regex, length, any-present, conditional) validates on a
+    stream with identical semantics to batch, for free."""
+    ctx = ctx or ValidationContext()
     checks = []
     for c in constraints:
-        if isinstance(c, DomainConstraint) and c.allowed is not None:
-            ok = F.col(c.column).isNull() | F.col(c.column).isin(c.allowed)
-        elif isinstance(c, RangeConstraint):
-            col = F.col(c.column)
-            ok = F.lit(True)
-            if c.allowed_set is not None:
-                ok = ok & col.isin(c.allowed_set)
-            if c.min_value is not None:
-                ok = ok & (col > c.min_value if c.min_exclusive else col >= c.min_value)
-            if c.max_value is not None:
-                ok = ok & (col <= c.max_value)
-            ok = col.isNull() | ok
-        elif isinstance(c, RequiredConstraint):
-            ok = F.lit(True)
-            for col in c.columns:
-                ok = ok & F.col(col).isNotNull()
-        elif isinstance(c, CompositeIdConstraint):
-            expected = F.concat_ws(c.sep, *[F.col(x).cast("string") for x in c.components])
-            ok = F.col(c.id_col).isNull() | (F.col(c.id_col) == expected)
-        else:
+        preds = getattr(c, "row_predicates", None)
+        if preds is None:
             continue
-        checks.append(F.when(~ok, F.lit(c.name)))
-    return F.array_compact(F.array(*checks)) if checks else F.array().cast("array<string>")
+        plist = preds(ctx)
+        if plist is None:
+            continue
+        for fail, _column, _obs, _exp in plist:
+            checks.append(F.when(fail, F.lit(c.name)))
+    if not checks:
+        return F.array().cast("array<string>")
+    # a multi-column constraint (required, conditional) contributes one
+    # predicate per column; distinct keeps one name per failed constraint
+    return F.array_distinct(F.array_compact(F.array(*checks)))
 
 
 def validate_stream(stream_df: DataFrame, constraints: list[Constraint]) -> DataFrame:
