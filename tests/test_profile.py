@@ -53,3 +53,38 @@ def test_runner_profile_sidecar(spark, audio_tables, tmp_path):
         (F.col("column") == "sr_hz") & (F.col("stat") == "quantiles")
     ).count() > 0
     assert "bytes" not in {r["column"] for r in stats.select("column").distinct().collect()}
+
+
+def test_hll_sketches_merge_and_incremental(spark, tmp_path):
+    """Persisted per-partition HLL sketches union to (approximately) the
+    global distinct count, subset-select works, and a NEW partition is
+    absorbed by appending its sketch rows — no rescan of old partitions."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.operators.profile import hll_estimate, hll_sketches
+
+    rows = [(f"id-{i % 400}", f"u{i % 37}", p) for p in ("p1", "p2") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["clip_id", "user", "part_date"])
+    sk = hll_sketches(df, "clips", ["clip_id", "user"], part_col="part_date")
+    path = str(tmp_path / "sketches")
+    sk.write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    est = {r["column"]: r["approx_distinct"] for r in hll_estimate(stored).collect()}
+    assert abs(est["clip_id"] - 400) / 400 < 0.05
+    assert abs(est["user"] - 37) / 37 < 0.05
+
+    only_p1 = {r["column"]: r["approx_distinct"]
+               for r in hll_estimate(stored, parts=["p1"]).collect()}
+    assert abs(only_p1["clip_id"] - 400) / 400 < 0.05
+
+    # incremental: p3 arrives with 100 brand-new ids; append ONLY its sketch
+    new = spark.createDataFrame(
+        [(f"new-{i}", "u0", "p3") for i in range(100)], ["clip_id", "user", "part_date"]
+    )
+    hll_sketches(new, "clips", ["clip_id", "user"], part_col="part_date").write.mode(
+        "append"
+    ).parquet(path)
+    est2 = {r["column"]: r["approx_distinct"]
+            for r in hll_estimate(spark.read.parquet(path)).collect()}
+    assert abs(est2["clip_id"] - 500) / 500 < 0.05

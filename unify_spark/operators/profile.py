@@ -110,3 +110,67 @@ def profile_table(
         per = slim.groupBy(part_col).agg(*exprs)
         out = out.unionByName(melt(per, F.col(part_col).cast("string")))
     return out
+
+
+HLL_SCHEMA = "table string, part string, column string, sketch binary"
+
+
+def hll_sketches(
+    df: DataFrame,
+    table: str,
+    columns: list[str] | None = None,
+    part_col: str | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-(partition, column) MERGEABLE HyperLogLog sketches (Datasketches
+    HLL via ``hll_sketch_agg``), as persistable binary state.
+
+    This is the incremental form of the profiler's approx-distinct: persist
+    one sketch row per (partition, column) into the audit sidecar, and any
+    later question — "distinct ids across THESE partitions?", "did yesterday's
+    load add new ids?" — is answered by ``hll_estimate`` UNION-merging the
+    stored sketches, never re-scanning data. New partitions append their
+    sketch rows; nothing is recomputed. At 10^12 rows the persisted state is
+    n_parts × n_cols × 2^lg_k bytes — metadata-sized."""
+    cols = columns or [
+        n for n, t in df.dtypes if t.split("(")[0] in (_NUMERIC | {"string"})
+    ]
+    part_expr = (
+        F.col(part_col).cast("string") if part_col else F.lit("*")
+    ).alias("part")
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(c) for c in cols
+    ]
+    agg = df.groupBy(part_expr).agg(*aggs)
+    return agg.select(
+        F.lit(table).alias("table"),
+        "part",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).alias("sketch"))
+                    for c in cols
+                ]
+            )
+        ).alias("kv"),
+    ).select("table", "part", F.col("kv.column").alias("column"), F.col("kv.sketch").alias("sketch"))
+
+
+def hll_estimate(
+    sketches: DataFrame, parts: list[str] | None = None
+) -> DataFrame:
+    """Union-merge persisted HLL sketches and estimate distinct counts per
+    (table, column) — over all partitions or a selected subset. One tiny
+    aggregation over sketch rows; the underlying data is never touched."""
+    df = sketches
+    if parts is not None:
+        df = df.filter(F.col("part").isin(parts))
+    return (
+        df.groupBy("table", "column")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "table",
+            "column",
+            F.hll_sketch_estimate("merged").alias("approx_distinct"),
+        )
+    )

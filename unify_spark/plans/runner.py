@@ -267,21 +267,39 @@ class ValidationRunner:
         res.wall_sec = time.time() - t_run
         return res
 
-    def profile(self, tables: dict[str, DataFrame], exclude: dict | None = None) -> None:
+    def profile(
+        self,
+        tables: dict[str, DataFrame],
+        exclude: dict | None = None,
+        sketches: bool = True,
+    ) -> None:
         """Persist column statistics (null rate, min/max, HLL distinct,
         sketch quantiles; global + per-partition) next to the audit table —
-        the north-rule "metrics persisted to the audit table" sidecar."""
-        from unify_spark.operators.profile import profile_table
+        the north-rule "metrics persisted to the audit table" sidecar.
+        With ``sketches=True`` the per-partition MERGEABLE HLL sketch state
+        is also persisted (profile.hll_sketches), so later distinct-count
+        questions over any partition subset — including partitions loaded by
+        FUTURE runs — merge stored sketches instead of re-scanning data."""
+        from unify_spark.operators.profile import hll_sketches, profile_table
 
         exclude = exclude or {}
         for name, df in tables.items():
             part = self.ctx.part_col if self.ctx.part_col in df.columns else None
-            stats = profile_table(
-                df, name, part_col=part, exclude=exclude.get(name, ["bytes"])
-            )
+            excl = exclude.get(name, ["bytes"])
+            stats = profile_table(df, name, part_col=part, exclude=excl)
             stats.coalesce(1).write.mode("append").parquet(
                 os.path.join(self.out_dir, "profile")
             )
+            if sketches:
+                cols = [
+                    n
+                    for n, t in df.dtypes
+                    if n not in excl and n != part and t.split("(")[0] in ("string", "bigint", "int", "long", "double", "float")
+                ]
+                if cols:
+                    hll_sketches(df, name, cols, part_col=part).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(os.path.join(self.out_dir, "profile_sketches"))
 
     def run_fused(
         self,
