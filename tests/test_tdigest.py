@@ -50,3 +50,38 @@ def test_distributed_sketch(spark, audio_tables):
     drift_part = max(p_parts, key=p_parts.get)
     assert drift_part == "2025-01-08"
     assert p_parts[drift_part] > 1.5 * min(p_parts.values())
+
+
+def test_tdigest_sidecar_rows_incremental(spark, tmp_path):
+    """Persisted per-partition digest rows answer quantiles over any
+    partition subset, and a new partition is absorbed by appending its row."""
+    import numpy as np
+
+    from unify_spark.operators import tdigest as td
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [(float(v), p) for p in ("p1", "p2") for v in rng.normal(100, 10, 4000)]
+    df = spark.createDataFrame(rows, ["dur_ms", "part_date"])
+    path = str(tmp_path / "td")
+    td.sketch_rows(df, "dur_ms", "clips", part_col="part_date").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    stored = spark.read.parquet(path)
+    got = td.quantile_from_rows(stored, [0.5])[("clips", "dur_ms")][0]
+    exact = float(np.median(np.array([r[0] for r in rows])))
+    assert abs(got - exact) < 0.5
+
+    # new partition with a shifted distribution appends one row; merged
+    # median moves accordingly without touching p1/p2 data
+    new = spark.createDataFrame(
+        [(float(v), "p3") for v in rng.normal(200, 10, 8000)], ["dur_ms", "part_date"]
+    )
+    td.sketch_rows(new, "dur_ms", "clips", part_col="part_date").write.mode(
+        "append"
+    ).parquet(path)
+    stored2 = spark.read.parquet(path)
+    merged = td.quantile_from_rows(stored2, [0.5])[("clips", "dur_ms")][0]
+    assert merged > got + 20  # median pulled toward the new mode
+    only_p3 = td.quantile_from_rows(stored2, [0.5], parts=["p3"])[("clips", "dur_ms")][0]
+    assert abs(only_p3 - 200) < 2

@@ -151,3 +151,64 @@ def sketch_column(
     out = {p: merge(ds, compression) for p, ds in by_part.items()}
     out["*"] = merge(list(out.values()), compression)
     return out
+
+
+TDIGEST_ROW_SCHEMA = (
+    "table string, part string, column string, "
+    "means array<double>, weights array<double>, lo double, hi double"
+)
+
+
+def sketch_rows(
+    df: DataFrame,
+    column: str,
+    table: str,
+    part_col: str | None = None,
+    compression: int = 100,
+) -> DataFrame:
+    """Persistable t-digest sidecar rows: one merged digest per table
+    partition (plus the global '*'), in the same incremental shape as the
+    HLL sketch sidecar (profile.hll_sketches) — append a new partition's
+    digest row and any later quantile question over any partition subset
+    merges stored centroids (merge is associative) instead of re-scanning.
+    State per row is ≤ ~compression centroids; driver assembly is
+    metadata-sized."""
+    digests = sketch_column(df, column, part_col=part_col, compression=compression)
+    spark = df.sparkSession
+    rows = [
+        (table, p, column, d.means.tolist(), d.weights.tolist(), d.lo, d.hi)
+        for p, d in sorted(digests.items())
+    ]
+    return spark.createDataFrame(rows, TDIGEST_ROW_SCHEMA)
+
+
+def quantile_from_rows(
+    sketches: DataFrame,
+    qs: list[float],
+    table: str | None = None,
+    column: str | None = None,
+    parts: list[str] | None = None,
+    compression: int = 100,
+) -> dict[tuple[str, str], list[float]]:
+    """Merge persisted digest rows (optionally filtered to a table, column,
+    or partition subset — '*' rows are excluded when selecting subsets so
+    nothing double-counts) and evaluate quantiles. Returns
+    {(table, column): [q...]} — a driver-side dict; the sketch table is
+    metadata-sized by construction."""
+    df = sketches
+    if table:
+        df = df.filter(F.col("table") == table)
+    if column:
+        df = df.filter(F.col("column") == column)
+    if parts is not None:
+        df = df.filter(F.col("part").isin(parts))
+    else:
+        df = df.filter(F.col("part") != "*")
+    out: dict[tuple[str, str], list[TDigest]] = {}
+    for r in df.collect():
+        out.setdefault((r["table"], r["column"]), []).append(
+            TDigest(np.array(r["means"]), np.array(r["weights"]), r["lo"], r["hi"])
+        )
+    return {
+        k: [quantile(merge(ds, compression), q) for q in qs] for k, ds in out.items()
+    }

@@ -300,6 +300,20 @@ class ValidationRunner:
                     hll_sketches(df, name, cols, part_col=part).coalesce(1).write.mode(
                         "append"
                     ).parquet(os.path.join(self.out_dir, "profile_sketches"))
+                # t-digest quantile sketches for numeric columns (the
+                # north-star dur_ms/sr_hz slot): same incremental sidecar
+                # shape as the HLL rows — per-partition digests merge later
+                from unify_spark.operators import tdigest as _td
+
+                num_cols = [
+                    n
+                    for n, t in df.dtypes
+                    if n not in excl and n != part and t.split("(")[0] in ("bigint", "int", "long", "double", "float")
+                ]
+                for col in num_cols:
+                    _td.sketch_rows(df, col, name, part_col=part).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(os.path.join(self.out_dir, "profile_tdigest"))
 
     def run_fused(
         self,
