@@ -88,3 +88,44 @@ def test_hll_sketches_merge_and_incremental(spark, tmp_path):
     est2 = {r["column"]: r["approx_distinct"]
             for r in hll_estimate(spark.read.parquet(path)).collect()}
     assert abs(est2["clip_id"] - 500) / 500 < 0.05
+
+
+def test_drift_vs_persisted_baseline(spark, tmp_path):
+    """Cross-run drift: a later run's partitions are scored against a prior
+    run's PERSISTED histogram rows; shifted distributions fail, matching
+    ones pass, and the prior run's data is never re-read."""
+    import numpy as np
+
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.drift import DriftConstraint
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    ctx = ValidationContext()
+    c = DriftConstraint("clips", "dur_ms", bounds=(0, 300))
+
+    base_rows = [(float(v), p) for p in ("p1", "p2")
+                 for v in rng.normal(150, 20, 3000).clip(1, 299)]
+    baseline_df = spark.createDataFrame(base_rows, ["dur_ms", "part_date"])
+    path = str(tmp_path / "hist")
+    c.histogram_rows({"clips": baseline_df}, ctx).write.mode("overwrite").parquet(path)
+
+    cur_rows = [(float(v), "p3") for v in rng.normal(150, 20, 3000).clip(1, 299)]
+    cur_rows += [(float(v), "p4") for v in rng.normal(60, 10, 3000).clip(1, 299)]
+    cur = spark.createDataFrame(cur_rows, ["dur_ms", "part_date"])
+
+    baseline = spark.read.parquet(path)
+    scores = {r["part"]: r["failed"]
+              for r in c.scores_vs_baseline({"clips": cur}, ctx, baseline).collect()}
+    assert scores == {"p3": False, "p4": True}
+
+
+def test_drift_baseline_requires_bounds(spark):
+    import pytest as _pytest
+
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.drift import DriftConstraint
+
+    c = DriftConstraint("clips", "dur_ms")  # no bounds
+    df = spark.createDataFrame([(1.0, "p1")], ["dur_ms", "part_date"])
+    with _pytest.raises(ValueError, match="bounds"):
+        c.histogram_rows({"clips": df}, ValidationContext())

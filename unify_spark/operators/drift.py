@@ -144,6 +144,105 @@ class DriftConstraint(Constraint):
         rows = self.scores_plan(tables, ctx).orderBy("part").collect()
         return [(r["part"], r["psi"], r["ks"], r["failed"]) for r in rows]
 
+    # -- cross-run drift: persisted baseline histograms -----------------------
+
+    HIST_SCHEMA = "table string, column string, part string, bucket long, n long, lo double, hi double"
+
+    def histogram_rows(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        """Persistable histogram sidecar rows for cross-RUN drift: store this
+        run's per-partition histogram next to the audit table, and later
+        runs compare against it without touching this run's data. Requires
+        contract ``bounds`` so the bins are identical across runs (the same
+        reason the in-run path prefers bounds: stable, metadata-free bins)."""
+        if self.bounds is None:
+            raise ValueError(
+                "cross-run drift needs contract bounds so bins are stable "
+                f"across runs; construct DriftConstraint({self.table!r}, "
+                f"{self.column!r}, bounds=(lo, hi))"
+            )
+        hist = self.histogram(tables[self.table], ctx.part_col)
+        return hist.select(
+            F.lit(self.table).alias("table"),
+            F.lit(self.column).alias("column"),
+            F.col("part").cast("string").alias("part"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(float(self.bounds[0])).alias("lo"),
+            F.lit(float(self.bounds[1])).alias("hi"),
+        )
+
+    def scores_vs_baseline(
+        self,
+        tables: dict[str, DataFrame],
+        ctx: ValidationContext,
+        baseline: DataFrame,
+    ) -> DataFrame:
+        """(part, psi, ks, ks_crit, failed) of each CURRENT partition against
+        the pooled BASELINE distribution (a prior run's persisted
+        histogram_rows). Same PSI/KS machinery as the in-run path; the
+        baseline side is a ≤ n_bins-row broadcast."""
+        if self.bounds is None:
+            raise ValueError("cross-run drift needs contract bounds (see histogram_rows)")
+        cur = self.histogram(tables[self.table], ctx.part_col)
+        ref = (
+            baseline.filter(
+                (F.col("table") == self.table) & (F.col("column") == self.column)
+            )
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("ref_n"))
+        )
+        parts = cur.select("part").distinct()
+        buckets = cur.sparkSession.range(self.n_bins).select(
+            F.col("id").cast("long").alias("bucket")
+        )
+        dense = (
+            parts.crossJoin(F.broadcast(buckets))
+            .join(cur, on=["part", "bucket"], how="left")
+            .fillna(0, subset=["n"])
+            .join(F.broadcast(ref), on="bucket", how="left")
+            .fillna(0, subset=["ref_n"])
+        )
+        w_part = Window.partitionBy("part")
+        dense = dense.withColumn("part_total", F.sum("n").over(w_part)).withColumn(
+            "ref_total", F.sum("ref_n").over(w_part)
+        )
+        p = (F.col("n") + 1.0) / (F.col("part_total") + self.n_bins)
+        q = (F.col("ref_n") + 1.0) / (F.col("ref_total") + self.n_bins)
+        psi_term = (p - q) * F.log(p / q)
+        w_cum = Window.partitionBy("part").orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum_p = F.sum("n").over(w_cum) / F.greatest(F.col("part_total"), F.lit(1))
+        cum_q = F.sum("ref_n").over(w_cum) / F.greatest(F.col("ref_total"), F.lit(1))
+        scored = (
+            dense.select(
+                "part",
+                "part_total",
+                "ref_total",
+                psi_term.alias("psi_term"),
+                F.abs(cum_p - cum_q).alias("ks_term"),
+            )
+            .groupBy("part")
+            .agg(
+                F.sum("psi_term").alias("psi"),
+                F.max("ks_term").alias("ks"),
+                F.first("part_total").alias("n1"),
+                F.first("ref_total").alias("n2"),
+            )
+        )
+        ks_crit = F.greatest(
+            F.lit(self.ks_threshold),
+            F.lit(self.ks_c_alpha)
+            * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))),
+        )
+        return scored.select(
+            "part",
+            "psi",
+            "ks",
+            ks_crit.alias("ks_crit"),
+            ((F.col("psi") > self.psi_threshold) | (F.col("ks") > ks_crit)).alias("failed"),
+        )
+
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         vio = self.scores_plan(tables, ctx).filter(F.col("failed"))
         return make_violations(
