@@ -54,3 +54,31 @@ def test_video_frame_sampling(media_df):
 def test_resize_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.resize_stub()
+
+
+def test_audio_features_real_decode(spark):
+    """Real feature extraction over the in-repo codecs: a loud sine-ish
+    signal, near-silence, a clipped signal, and an undecodable row."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_features
+
+    loud = pcm.synth_pcm16(1, 8000, 800)
+    quiet = (pcm.synth_pcm16(2, 8000, 800) * 0.001).astype("<i2")
+    clipped = np.full(800, 32767, dtype="<i2")
+    rows = [
+        ("c-loud", bytearray(pcm.encode(loud, "pcm_s16le")), "pcm_s16le", 8000),
+        ("c-quiet", bytearray(pcm.encode(quiet, "ulaw")), "ulaw", 8000),
+        ("c-clip", bytearray(pcm.encode(clipped, "pcm_s16le")), "pcm_s16le", 8000),
+        ("c-bad", None, "pcm_s16le", 8000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r["clip_id"]: r for r in audio_features(df).collect()}
+
+    assert got["c-loud"]["rms_db"] > got["c-quiet"]["rms_db"] + 20
+    assert got["c-loud"]["n_samples"] == 800
+    assert got["c-clip"]["clipping_ratio"] == 1.0 and got["c-clip"]["zcr"] == 0.0
+    assert got["c-loud"]["clipping_ratio"] < 0.01
+    assert got["c-bad"]["reason"] == "null bytes or unknown codec"
+    assert got["c-bad"]["n_samples"] == 0

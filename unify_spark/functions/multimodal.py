@@ -177,3 +177,73 @@ def resize_stub(*_args, **_kwargs):
         "resize needs a real image backend (Pillow/opencv); the Spark-side "
         "call site is image_features/mapInPandas, which is fully tested"
     )
+
+
+def audio_features(
+    df: "DataFrame",
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> "DataFrame":
+    """REAL audio feature extraction (unlike the image/video stubs, the
+    audio codecs are implemented in-repo): decode each payload and emit
+    rms_db, peak, zero-crossing rate, and clipping ratio — the standard
+    quality gates a speech-training pipeline filters on (silent clips,
+    clipped recordings, DC-stuck channels).
+
+    One Arrow-batched mapInPandas pass; rows are grouped by (codec, byte
+    length) so decoding is 2-D-vectorized per group like the payload
+    constraint; undecodable rows emit nulls with a reason instead of
+    killing the job (fail-at-end)."""
+    from unify_spark.audio import pcm
+
+    schema = (
+        f"{id_col} string, rms_db double, peak double, zcr double, "
+        "clipping_ratio double, n_samples long, reason string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            out = {
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "rms_db": np.full(n, np.nan),
+                "peak": np.full(n, np.nan),
+                "zcr": np.full(n, np.nan),
+                "clipping_ratio": np.full(n, np.nan),
+                "n_samples": np.zeros(n, dtype=np.int64),
+                "reason": np.full(n, "", dtype=object),
+            }
+            ok = (
+                pdf[bytes_col].notna()
+                & pdf[codec_col].isin(pcm.CODEC_DOMAIN)
+            ).to_numpy()
+            out["reason"][~ok] = "null bytes or unknown codec"
+            blobs = pdf[bytes_col].to_numpy()
+            codecs = pdf[codec_col].to_numpy()
+            groups: dict[tuple, list[int]] = {}
+            for i in np.flatnonzero(ok):
+                groups.setdefault((codecs[i], len(blobs[i])), []).append(i)
+            for (codec, _bl), idxs in groups.items():
+                try:
+                    dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
+                except ValueError as e:
+                    for i in idxs:
+                        out["reason"][i] = f"decode error: {e}"
+                    continue
+                x = dec.astype(np.float64) / 32768.0
+                ii = np.array(idxs)
+                rms = np.sqrt(np.mean(x * x, axis=1))
+                out["rms_db"][ii] = 20.0 * np.log10(np.maximum(rms, 1e-10))
+                out["peak"][ii] = np.abs(x).max(axis=1)
+                signs = np.signbit(dec)
+                out["zcr"][ii] = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+                out["clipping_ratio"][ii] = (np.abs(dec) >= 32767).mean(axis=1)
+                out["n_samples"][ii] = dec.shape[1]
+            yield pd.DataFrame(out)
+
+    slim = df.select(id_col, bytes_col, codec_col, sr_col)
+    return slim.mapInPandas(run, schema=schema)
