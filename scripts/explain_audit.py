@@ -107,6 +107,23 @@ def main() -> None:
         ),
     ]
 
+    docs_path = "/root/testdata/sf0.01/documents.parquet"
+    if os.path.exists(docs_path):
+        from unify_spark.functions import dedup
+
+        docs = spark.read.parquet(docs_path)
+        sections.append(
+            (
+                "MinHash-LSH candidates (explode→k-min, banded alias self-join)",
+                "CHECK: ONE Generate(explode) of shingles feeding k min-"
+                "aggregates (two HashAggregate levels — partial combine "
+                "before the id shuffle); both self-join sides are the "
+                "identical subplan (alias join) so the exchange is reusable; "
+                "join keys are (band_id, band_hash) uniform 64-bit buckets.",
+                dedup.minhash_candidates(docs, "doc_id", "text", num_hashes=32, bands=8),
+            )
+        )
+
     emb_path = "/root/testdata/sf0.01/embeddings.parquet"
     if os.path.exists(emb_path):
         from unify_spark.functions import similarity
