@@ -235,3 +235,32 @@ def test_duplicate_clusters_and_canonical(spark):
     kept = canonical_docs(df, clusters, prefer="quality")
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     assert kept_ids == [2, 3]  # highest quality in the dup cluster + singleton
+
+
+def test_winnow_fingerprints_edit_robust(spark):
+    """A local edit must preserve most winnowing fingerprints (unlike the
+    whole-doc md5); unrelated text shares none; short text degrades to []."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees of the old forest"
+    )
+    edited = base.replace("river", "creek")
+    other = "entirely different material on catalyst shuffle planning internals"
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other), (3, "tiny")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: set(r["fp"]) for r in
+           df.select("doc_id", text.winnow_fingerprints("text").alias("fp")).collect()}
+    overlap = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    assert overlap > 0.6
+    assert not (fps[0] & fps[2])
+    assert fps[3] == set()  # shorter than k
+
+
+def test_winnow_candidates(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fps"]
+             for r in dedup.winnow_candidates(docs, "doc_id", "text").collect()}
+    assert (0, 3) in pairs  # exact dup shares everything
+    assert (0, 1) in pairs  # one-word edit shares most fingerprints
+    assert not any({a, b} == {0, 2} for a, b in pairs)

@@ -263,3 +263,38 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_freq: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup candidate pairs via winnowing fingerprints (rolling-hash
+    k-grams, window minima — text.winnow_fingerprints): pairs sharing at
+    least ``min_shared`` fingerprints, with the shared count attached.
+
+    Same scale shape as the shingle join: explode → self-join on the
+    fingerprint (uniform 64-bit values partition evenly), hot fingerprints
+    capped like hot shingles, alias self-join for exchange reuse. Robust to
+    local edits where exact/whole-doc fingerprints break."""
+    from unify_spark.functions.text import winnow_fingerprints
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k, w)).alias("f"),
+    ).distinct()
+    fp = _drop_hot_buckets(fp, ["f"], max_fp_freq)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, on="f")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

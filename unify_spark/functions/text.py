@@ -51,9 +51,35 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Normalized document fingerprint: md5 of lowercase, whitespace-collapsed
-    text (rolling-hash slot; md5 keeps it SQL-oracle-checkable)."""
+    text (whole-document form; md5 keeps it SQL-oracle-checkable)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), _WS, " "))
+
+
+def winnow_fingerprints(col: Column | str, k: int = 7, w: int = 4) -> Column:
+    """Winnowing fingerprint SET (the rolling-hash fingerprint family;
+    Schleimer/Wilkerson/Aiken's MOSS algorithm, public): hash every
+    character k-gram of the normalized text, keep the minimum hash of each
+    sliding window of ``w`` grams, dedupe. Local edits perturb only nearby
+    windows, so two documents sharing a long run of text share most
+    fingerprints — unlike the whole-document md5, which any edit breaks.
+
+    Pure Column expressions (sequence/transform/slice/array_min — JVM-side);
+    guards degenerate short texts to an empty set."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+    n_grams = F.length(norm) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(norm, i, k)),
+    )
+    n_windows = F.greatest(n_grams - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    empty = F.array().cast("array<bigint>")
+    return F.when(n_grams >= 1, F.array_distinct(mins)).otherwise(empty)
 
 
 def _hit_filter(words: tuple[str, ...]):
