@@ -282,6 +282,15 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_q", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates (rows-only: the rolling
+    hash isn't reproducible in DuckDB; edit-robustness pinned in
+    tests/test_functions.py). min_shared=40 keeps candidates to genuinely
+    overlapping docs in this template-heavy synthetic corpus."""
+    docs = _t(spark, sf, "documents")
+    return dedup.winnow_candidates(docs, "doc_id", "text", min_shared=40)
+
+
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate clustering via distributed connected components over
     exact-fingerprint star edges (each doc → its group's min id). The CC
@@ -526,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_dup_clusters": q_dup_clusters,
         "q_multihop_revenue": q_multihop_revenue,
+        "q_winnow_candidates": q_winnow_candidates,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,

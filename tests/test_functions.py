@@ -240,6 +240,8 @@ def test_duplicate_clusters_and_canonical(spark):
 def test_winnow_fingerprints_edit_robust(spark):
     """A local edit must preserve most winnowing fingerprints (unlike the
     whole-doc md5); unrelated text shares none; short text degrades to []."""
+    from unify_spark.functions.text import with_winnow_fingerprints
+
     base = (
         "the quick brown fox jumps over the lazy dog near the river bank "
         "while birds sing in the tall green trees of the old forest"
@@ -247,15 +249,16 @@ def test_winnow_fingerprints_edit_robust(spark):
     edited = base.replace("river", "creek")
     other = "entirely different material on catalyst shuffle planning internals"
     df = spark.createDataFrame(
-        [(0, base), (1, edited), (2, other), (3, "tiny")],
-        ["doc_id", "text"],
+        [(0, base), (1, edited), (2, other), (3, "tiny"), (4, None)],
+        "doc_id int, text string",
     )
     fps = {r["doc_id"]: set(r["fp"]) for r in
-           df.select("doc_id", text.winnow_fingerprints("text").alias("fp")).collect()}
+           with_winnow_fingerprints(df, "text", "fp").select("doc_id", "fp").collect()}
     overlap = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
     assert overlap > 0.6
     assert not (fps[0] & fps[2])
     assert fps[3] == set()  # shorter than k
+    assert fps[4] == set()  # null text
 
 
 def test_winnow_candidates(spark, docs):
@@ -264,3 +267,15 @@ def test_winnow_candidates(spark, docs):
     assert (0, 3) in pairs  # exact dup shares everything
     assert (0, 1) in pairs  # one-word edit shares most fingerprints
     assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_winnow_fingerprints_deterministic(spark):
+    from unify_spark.functions.text import with_winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "some stable text for deterministic fingerprints across runs")],
+        "doc_id int, text string",
+    )
+    a = with_winnow_fingerprints(df, "text", "fp").collect()[0]["fp"]
+    b = with_winnow_fingerprints(df, "text", "fp").collect()[0]["fp"]
+    assert a == b and len(a) > 0

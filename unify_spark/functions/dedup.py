@@ -281,13 +281,15 @@ def winnow_candidates(
     Same scale shape as the shingle join: explode → self-join on the
     fingerprint (uniform 64-bit values partition evenly), hot fingerprints
     capped like hot shingles, alias self-join for exchange reuse. Robust to
-    local edits where exact/whole-doc fingerprints break."""
-    from unify_spark.functions.text import winnow_fingerprints
+    local edits where exact/whole-doc fingerprints break. Uses the staged
+    DataFrame fingerprint form — the single-expression form re-evaluates
+    across lambda boundaries (see text.with_winnow_fingerprints)."""
+    from unify_spark.functions.text import with_winnow_fingerprints
 
-    fp = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(text_col, k, w)).alias("f"),
-    ).distinct()
+    fps = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "_fps", k, w
+    )
+    fp = fps.select("id", F.explode("_fps").alias("f")).distinct()
     fp = _drop_hot_buckets(fp, ["f"], max_fp_freq)
     a, b = fp.alias("a"), fp.alias("b")
     return (

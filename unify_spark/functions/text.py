@@ -56,7 +56,9 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), _WS, " "))
 
 
-def winnow_fingerprints(col: Column | str, k: int = 7, w: int = 4) -> Column:
+def with_winnow_fingerprints(
+    df: DataFrame, text_col: str, out_col: str = "winnow_fps", k: int = 7, w: int = 4
+) -> DataFrame:
     """Winnowing fingerprint SET (the rolling-hash fingerprint family;
     Schleimer/Wilkerson/Aiken's MOSS algorithm, public): hash every
     character k-gram of the normalized text, keep the minimum hash of each
@@ -64,22 +66,58 @@ def winnow_fingerprints(col: Column | str, k: int = 7, w: int = 4) -> Column:
     windows, so two documents sharing a long run of text share most
     fingerprints — unlike the whole-document md5, which any edit breaks.
 
-    Pure Column expressions (sequence/transform/slice/array_min — JVM-side);
-    guards degenerate short texts to an empty set."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
-    n_grams = F.length(norm) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.substring(norm, i, k)),
-    )
-    n_windows = F.greatest(n_grams - (w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )
-    empty = F.array().cast("array<bigint>")
-    return F.when(n_grams >= 1, F.array_distinct(mins)).otherwise(empty)
+    Implementation is ONE Arrow-batched ``mapInPandas`` with numpy
+    sliding-window views — NOT nested Column higher-order functions:
+    Catalyst's project collapse re-inlines intermediate expressions into
+    HOF lambdas (no CSE across lambda boundaries), so the expression form
+    re-evaluates the normalization per gram and the gram array per window —
+    O(n³) regex work per row, measured as a 20-minute single-task stall on
+    500 short documents. The same trap (and fix) as the round-1 minhash
+    and LSH-signature rebuilds. Deterministic splitmix-mixed polynomial
+    rolling hash; fingerprints are int64."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    pw = (np.uint64(257) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+
+    def _mix(h: "np.ndarray") -> "np.ndarray":
+        # splitmix64 finalizer, vectorized (wraparound arithmetic intended)
+        h = (h + np.uint64(0x9E3779B97F4A7C15))
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<bigint>"
+
+    def run(batches):
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                fps = []
+                for t in pdf[text_col]:
+                    if t is None:
+                        fps.append([])
+                        continue
+                    s = ws.sub(" ", str(t).strip().lower()).encode("utf-8")
+                    if len(s) < k:
+                        fps.append([])
+                        continue
+                    a = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+                    grams = _mix(
+                        (np.lib.stride_tricks.sliding_window_view(a, k) * pw).sum(axis=1)
+                    )
+                    ww = min(w, len(grams))
+                    mins = np.lib.stride_tricks.sliding_window_view(grams, ww).min(axis=1)
+                    fps.append(np.unique(mins).view(np.int64).tolist())
+                out = pdf.copy()
+                out[out_col] = fps
+                yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _hit_filter(words: tuple[str, ...]):
