@@ -279,3 +279,34 @@ def test_winnow_fingerprints_deterministic(spark):
     a = with_winnow_fingerprints(df, "text", "fp").collect()[0]["fp"]
     b = with_winnow_fingerprints(df, "text", "fp").collect()[0]["fp"]
     assert a == b and len(a) > 0
+
+
+def test_clean_corpus_pipeline(spark):
+    """Composed quality→dedup→canonical pipeline: junk filtered, duplicate
+    cluster collapsed to its best member, singleton kept."""
+    from unify_spark.functions.pipeline import clean_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees of the old forest"
+    )
+    rows = [
+        (0, base),
+        (1, base.replace("lazy", "extremely sleepy")),  # near-dup, one MORE token
+        (2, base),                              # exact dup of 0
+        (3, "completely different content about catalyst optimizer rules "
+            "for petabyte scale partition pruning"),
+        (4, "too short"),                       # fails token floor
+        (5, "!!! ??? ... ,,, ;;; ::"),          # fails punct ratio
+        (6, None),                              # null text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, report = clean_corpus(df, min_tokens=5, min_est_jaccard=0.5)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+
+    assert report.n_input == 7
+    assert report.removed_quality == 3          # 4, 5, 6
+    # cluster {0, 1, 2} keeps 1 (highest token count wins over min-id)
+    assert kept_ids == [1, 3]
+    assert report.removed_duplicates == 2
+    assert "quality_score" in kept.columns
