@@ -3,6 +3,7 @@ from unify_spark.functions.text import (  # noqa: F401
     lang_id,
     quality_features,
     token_count,
+    with_winnow_fingerprints,
 )
 from unify_spark.functions.dedup import (  # noqa: F401
     exact_duplicates,
@@ -11,9 +12,18 @@ from unify_spark.functions.dedup import (  # noqa: F401
     shingles,
     simhash,
     simhash_candidates,
+    winnow_candidates,
 )
 from unify_spark.functions.similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
+from unify_spark.functions.graph import (  # noqa: F401
+    canonical_docs,
+    connected_components,
+    duplicate_clusters,
+)
+from unify_spark.functions.pipeline import clean_corpus  # noqa: F401
+from unify_spark.functions.multimodal import audio_features  # noqa: F401
