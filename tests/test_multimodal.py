@@ -82,3 +82,23 @@ def test_audio_features_real_decode(spark):
     assert got["c-loud"]["clipping_ratio"] < 0.01
     assert got["c-bad"]["reason"] == "null bytes or unknown codec"
     assert got["c-bad"]["n_samples"] == 0
+
+
+def test_clipping_counts_negative_rail(spark):
+    """np.abs(int16 -32768) overflows back to -32768; the widened-abs fix
+    must count negative-rail samples as clipped."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_features
+
+    neg = np.full(800, -32768, dtype="<i2")
+    half = np.concatenate([np.full(400, -32768, dtype="<i2"), np.zeros(400, dtype="<i2")])
+    rows = [
+        ("c-neg", bytearray(pcm.encode(neg, "pcm_s16le")), "pcm_s16le", 8000),
+        ("c-half", bytearray(pcm.encode(half, "pcm_s16le")), "pcm_s16le", 8000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r["clip_id"]: r for r in audio_features(df).collect()}
+    assert got["c-neg"]["clipping_ratio"] == 1.0
+    assert abs(got["c-half"]["clipping_ratio"] - 0.5) < 1e-9

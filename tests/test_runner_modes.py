@@ -103,3 +103,60 @@ def test_audit_append_retries_transient_failures(spark, tmp_path, monkeypatch):
     )
     assert calls["n"] == 3
     assert audit.completed_constraints("r") == {"c"}
+
+
+def test_violation_write_retries_transient_failures(spark, tmp_path, monkeypatch):
+    """A transient sink failure during the violation parquet write is
+    retried with backoff instead of aborting the stage (retry.py taxonomy;
+    reference transact.clj:46-82)."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import RangeConstraint
+    from unify_spark.plans import ValidationRunner
+    from unify_spark.plans import retry as retry_mod
+
+    df = spark.createDataFrame([(1, -5.0), (2, 3.0)], ["k", "v"])
+    calls = {"n": 0}
+    real = retry_mod.with_retries
+
+    def flaky_once(fn, **kw):
+        def wrapped():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("transient object-store hiccup")
+            return fn()
+
+        return real(wrapped, base_backoff_s=0.01)
+
+    import unify_spark.plans.runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "with_retries", flaky_once)
+    runner = ValidationRunner(spark, str(tmp_path / "out"), ValidationContext(run_id="rt"))
+    res = runner.run(
+        {"t": df}, [RangeConstraint("t", "v", min_value=0)], resume=False
+    )
+    assert calls["n"] >= 2  # first attempt failed, retry succeeded
+    assert res.violation_counts and sum(res.violation_counts.values()) == 1
+    vio = spark.read.parquet(str(tmp_path / "out" / "violations" / "range_t.v"))
+    assert vio.count() == 1
+
+
+def test_retry_taxonomy_fatal_not_retried():
+    import pytest
+
+    from unify_spark.plans.retry import retryable, with_retries
+
+    assert retryable(OSError("disk wobble"))
+    assert retryable(RuntimeError("java.io.IOException: connection reset by peer"))
+    assert not retryable(ValueError("bad plan"))
+
+    calls = {"n": 0}
+
+    def fatal():
+        calls["n"] += 1
+        raise ValueError("logic error")
+
+    with pytest.raises(ValueError):
+        with_retries(fatal, base_backoff_s=0.001)
+    assert calls["n"] == 1  # fatal → no retries

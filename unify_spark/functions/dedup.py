@@ -29,12 +29,22 @@ def exact_duplicates(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (pure expression:
-    split → sequence → transform → slice/join)."""
+    split → sequence → transform → slice/join).
+
+    Short-text guard: for texts with < n tokens, k < 1 and
+    ``sequence(1, 0)`` would count DOWN ([1, 0] — Spark picks step -1 when
+    start > stop), feeding slice() an illegal 0 start. Clamp the sequence
+    to one element and blank the result for short texts instead."""
     toks = tokens(col)
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)  # 1-based slice positions; empty when k=0
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))  # 1-based slice positions
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))  # null in, null out
+        .when(k >= 1, F.array_distinct(grams))
+        .otherwise(empty)
+    )
 
 
 def minhash_signatures(
@@ -65,16 +75,23 @@ def _drop_hot_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> Da
     over-cap bucket are near-certain exact/near duplicates of each other,
     which ``exact_duplicates`` (hash groupBy — linear, skew-immune) already
     reports; the cap only suppresses their quadratic re-derivation here.
-    The hot-bucket set is tiny → broadcast anti-join."""
+
+    Implementation: an inline ``count().over(Window.partitionBy(keys))``
+    filter, NOT a separate groupBy + broadcast anti-join. The window's
+    exchange hashes on exactly the keys the candidate self-join partitions
+    by, so the cap rides the shuffle the join already needs — zero extra
+    aggregation passes (the r2 anti-join form cost minhash/simhash ~50%
+    extra wall for the same semantics)."""
     if cap is None:
         return banded
-    hot = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > cap)
-        .select(*keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= cap)
+        .drop("_bn")
     )
-    return banded.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
 def minhash_candidates(
@@ -237,11 +254,8 @@ def ngram_jaccard_pairs(
     counting sizes pre-filter would systematically underestimate).
     """
     sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
-    if max_shingle_freq is not None:
-        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f")).filter(
-            F.col("f") > max_shingle_freq
-        )
-        sh = sh.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    # same inline-window cap as the LSH banders (rides the self-join's shuffle)
+    sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # symmetric alias self-join → exchange reuse (see minhash_candidates)
     a, b = sh.alias("a"), sh.alias("b")

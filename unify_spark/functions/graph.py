@@ -7,13 +7,18 @@ cluster.
 
 Algorithm: iterative min-label propagation over the (sparse) candidate edge
 set — each round every node takes the minimum label among itself and its
-neighbors, until no label changes. Convergence is O(cluster diameter)
-rounds; near-dup clusters are dense and shallow (diameter ≤ ~3 in practice),
-so a handful of rounds suffices even at 10^9 docs — the classic
-alternating-star optimization only pays off on high-diameter graphs, which
-dedup graphs are not. Each round is one shuffle on node id; lineage is cut
-with localCheckpoint every round so the plan does not grow exponentially
-across iterations (the standard iterative-DataFrame pitfall).
+neighbors — accelerated with POINTER DOUBLING (path shortcutting: each
+node's label jumps to its label's label every round, the Hash-to-Min /
+star-contraction idea). One-hop propagation alone converges in O(cluster
+diameter) rounds, fine for the dense shallow clusters near-dup graphs
+usually form but fatal on the long similarity chains versioned/template
+corpora produce (doc_v1≈doc_v2≈…≈doc_v500); with the shortcut step the
+label distance to the component minimum halves each round, so convergence
+is O(log diameter) — ~10 rounds covers chains of 1000 nodes, and the
+default max_iter=50 covers any graph that fits in storage. Each round is
+two key-only shuffles (neighbor-min aggregate + shortcut self-join);
+lineage is cut with localCheckpoint every round so the plan does not grow
+exponentially across iterations (the standard iterative-DataFrame pitfall).
 """
 
 from __future__ import annotations
@@ -25,12 +30,13 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id of the connected component (deterministic). Raises
-    if not converged within ``max_iter`` rounds (dedup graphs converge in
-    a few)."""
+    if not converged within ``max_iter`` rounds — with pointer doubling that
+    takes a component of diameter ~2^max_iter, so the default is a safety
+    net, not a tuning knob."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
@@ -45,16 +51,28 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # each node's new label = min(own, min over neighbors' labels)
+        # one-hop: each node's new label = min(own, neighbors' labels)
         nbr = (
             und.join(labels, und["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("label"))
         )
-        new_labels = (
+        hop = (
             labels.select("node", "label")
             .unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: jump to the label's label. Every label value is
+        # itself a node id with a (smaller-or-equal) label, so the inner
+        # lookup always hits and only decreases — path length to the
+        # component minimum halves per round.
+        lk = hop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        new_labels = (
+            hop.join(lk, hop["label"] == lk["_ln"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -76,16 +94,19 @@ def duplicate_clusters(
     num_hashes: int = 32,
     bands: int = 8,
     min_est_jaccard: float = 0.5,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Documents → (id, cluster) via MinHash-LSH candidates filtered by
     estimated Jaccard, then connected components. Documents with no
-    near-duplicate edge keep their own id as cluster (singletons)."""
+    near-duplicate edge keep their own id as cluster (singletons).
+    ``max_iter`` bounds the CC rounds (escape hatch for pathological
+    graphs; see connected_components)."""
     from unify_spark.functions import dedup
 
     pairs = dedup.minhash_candidates(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands
     ).where(F.col("est_jaccard") >= min_est_jaccard)
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     return (
         df.select(F.col(id_col).alias("node"))
         .join(cc, on="node", how="left")
@@ -105,16 +126,24 @@ def canonical_docs(
     """One kept row per duplicate cluster. Default canonical member is the
     minimum id (deterministic); pass ``prefer`` (a column name, e.g. a
     quality score) to keep the highest-scoring member instead, ties broken
-    by id."""
+    by id.
+
+    Scale shape: the per-cluster ranking window sees only a slim
+    (id, cluster[, prefer]) projection — at 100 TB the text IS the table,
+    so full rows must not shuffle through the window. Winner ids then
+    semi-join back to ``df`` to produce the kept rows (the same
+    hash-not-payload pattern as EqualityAcrossTablesConstraint)."""
     from pyspark.sql import Window
 
-    joined = df.join(clusters, on=id_col)
+    slim_cols = [id_col] + ([prefer] if prefer else [])
+    slim = df.select(*slim_cols).join(clusters, on=id_col)
     order = (
         [F.desc(prefer), F.col(id_col)] if prefer else [F.col(id_col)]
     )
     w = Window.partitionBy("cluster").orderBy(*order)
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
+    winners = (
+        slim.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(id_col, "cluster")
     )
+    return df.join(winners, on=id_col, how="inner")

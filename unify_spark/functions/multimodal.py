@@ -241,7 +241,12 @@ def audio_features(
                 out["peak"][ii] = np.abs(x).max(axis=1)
                 signs = np.signbit(dec)
                 out["zcr"][ii] = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
-                out["clipping_ratio"][ii] = (np.abs(dec) >= 32767).mean(axis=1)
+                # widen before abs: np.abs(int16 -32768) overflows back to
+                # -32768, silently missing samples clipped at the negative
+                # rail — the exact samples this metric exists to count
+                out["clipping_ratio"][ii] = (
+                    np.abs(dec.astype(np.int32)) >= 32767
+                ).mean(axis=1)
                 out["n_samples"][ii] = dec.shape[1]
             yield pd.DataFrame(out)
 

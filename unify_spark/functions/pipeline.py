@@ -45,6 +45,7 @@ def clean_corpus(
     min_est_jaccard: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    max_iter: int = 50,
 ) -> tuple[DataFrame, CleanReport]:
     """Quality-gate, dedup, and canonicalize a document corpus.
 
@@ -53,25 +54,35 @@ def clean_corpus(
     2. near-duplicate clustering: minhash-LSH candidates filtered by
        estimated Jaccard → connected components (exact duplicates land in
        the same cluster automatically — identical docs agree on every
-       signature band);
+       signature band); ``max_iter`` bounds the CC rounds;
     3. canonical selection: keep ONE doc per cluster, preferring the
        highest quality score (token count here), ties by id.
 
     Returns (kept DataFrame with a ``quality_score`` column, CleanReport).
+
+    Job accounting: ONE aggregate job computes both input and post-gate
+    counts, and the returned ``kept`` frame is persisted before the final
+    count — so the dedup pipeline (minhash + connected components) runs
+    exactly once whether or not the caller writes the result afterwards.
+    The caller owns ``kept.unpersist()`` once done with the frame.
     """
     feats = text_fns.quality_features(text_col)
     scored = df.withColumn("_n_tokens", feats["n_tokens"]).withColumn(
         "_punct", feats["punct_ratio"]
     )
-    good = scored.filter(
+    good_cond = (
         F.col(text_col).isNotNull()
         & (F.col("_n_tokens") >= min_tokens)
         & (F.col("_punct") <= max_punct_ratio)
     )
+    # one scan for both counters (was two separate jobs)
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(good_cond.cast("long")).alias("n_quality"),
+    ).first()
+    n_input, n_quality = counts["n_input"], int(counts["n_quality"] or 0)
 
-    n_input = df.count()
-    n_quality = good.count()
-
+    good = scored.filter(good_cond)
     clusters = duplicate_clusters(
         good,
         id_col,
@@ -79,6 +90,7 @@ def clean_corpus(
         num_hashes=num_hashes,
         bands=bands,
         min_est_jaccard=min_est_jaccard,
+        max_iter=max_iter,
     )
     kept = canonical_docs(
         good.withColumn("quality_score", F.col("_n_tokens").cast("double")),
@@ -87,4 +99,7 @@ def clean_corpus(
         prefer="quality_score",
     ).drop("_n_tokens", "_punct", "cluster")
 
+    # persist BEFORE the count: the report counter and the caller's
+    # write/collect share one computation of the whole dedup pipeline
+    kept = kept.persist()
     return kept, CleanReport(n_input, n_quality, kept.count())

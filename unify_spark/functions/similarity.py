@@ -92,6 +92,23 @@ def _splitmix_unit(x: int) -> float:
     return (z >> 11) / float(1 << 53)
 
 
+def _stack_valid(values, dim: int):
+    """(matrix, mask) over an Arrow-batch vector column: stack only rows
+    holding a non-null, length-``dim`` vector. One null or ragged vector
+    must not kill the whole job (fail-at-end convention — the Column-
+    expression form these UDFs replaced yielded null signatures for such
+    rows; here they simply emit no signature/assignment rows, which
+    downstream joins treat identically)."""
+    import numpy as np
+
+    mask = np.array(
+        [v is not None and len(v) == dim for v in values], dtype=bool
+    )
+    if not mask.any():
+        return None, mask
+    return np.stack([np.asarray(values[i], dtype=np.float64) for i in np.flatnonzero(mask)]), mask
+
+
 def _hyperplane_matrix(dim: int, n_planes: int):
     """dim × n_planes hyperplane matrix (deterministic; ships in the UDF
     closure — a few KB — instead of n_planes × dim literal expression trees)."""
@@ -138,7 +155,10 @@ def lsh_band_signatures(
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.stack(pdf[out_vec].to_numpy()).astype(np.float64)
+            V, mask = _stack_valid(pdf[out_vec].to_numpy(), dim)
+            if V is None:
+                continue
+            pdf = pdf[mask]
             bits = (V @ H) >= 0.0  # n × n_planes
             sigs = np.stack(
                 [bits[:, b * ppb : (b + 1) * ppb].astype(np.int64) @ weights for b in range(n_bands)],
@@ -183,7 +203,9 @@ def ivf_train_centroids(
             for pdf in batches:
                 if pdf.empty:
                     continue
-                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                V, _ = _stack_valid(pdf["v"].to_numpy(), dim)
+                if V is None:
+                    continue
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
                 cells = np.argmax(Vn @ Cb.T, axis=1)
                 rows = {"cell": [], "vsum": [], "n": []}
@@ -243,7 +265,10 @@ def ivf_assign(
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.stack(pdf[out_vec].to_numpy()).astype(np.float64)
+            V, mask = _stack_valid(pdf[out_vec].to_numpy(), C.shape[1])
+            if V is None:
+                continue
+            pdf = pdf[mask]
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = Vn @ C.T
             top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)

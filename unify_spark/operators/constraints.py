@@ -665,8 +665,24 @@ class EqualityAcrossTablesConstraint(Constraint):
         # the violation projection anyway, and carrying it beats a second
         # scan + join to recover it. A hash collision masks an inequality
         # with probability ~2^-64 per pair.
+        #
+        # xxhash64 is TYPE-sensitive, unlike Spark's comparison coercion:
+        # long 1 and string '1' compare equal under `=` but hash differently.
+        # When the two columns' types differ, hash a common-type cast of both
+        # sides (double when both are numeric — preserving 1 == 1.0 — else
+        # string) so hash equality tracks comparison equality.
+        ltype = tables[self.left_table].schema[self.left_col].dataType
+        rtype = tables[self.right_table].schema[self.right_col].dataType
+        if ltype == rtype:
+            common = None
+        else:
+            numeric = ("byte", "short", "int", "bigint", "float", "double", "decimal")
+            is_num = lambda t: t.simpleString().split("(")[0] in numeric  # noqa: E731
+            common = "double" if (is_num(ltype) and is_num(rtype)) else "string"
+
         def _h(c):
-            return F.when(c.isNotNull(), F.xxhash64(c))
+            hashed = F.xxhash64(c if common is None else c.cast(common))
+            return F.when(c.isNotNull(), hashed)
 
         left = tables[self.left_table].select(
             F.col(self.on), _h(F.col(self.left_col)).alias("_lh")

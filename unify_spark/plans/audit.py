@@ -66,16 +66,17 @@ class AuditLog:
         retry policy (db/transact.clj:128-136: bounded retries, scaled
         backoff) — transient filesystem/object-store failures must not lose
         lineage; the bound is small because each append is a tiny local
-        write, not a distributed transaction."""
+        write, not a distributed transaction. Retryable-vs-fatal
+        classification is the shared taxonomy in plans/retry.py."""
+        from unify_spark.plans.retry import with_retries
+
         if not rows:
             return
-        for attempt in range(max_retries):
-            try:
-                return self._append_once(rows)
-            except OSError:
-                if attempt == max_retries - 1:
-                    raise
-                time.sleep(backoff_s * (2**attempt))
+        return with_retries(
+            lambda: self._append_once(rows),
+            max_retries=max_retries,
+            base_backoff_s=backoff_s,
+        )
 
     def _append_once(self, rows: list[dict]) -> None:
         import pyarrow as pa

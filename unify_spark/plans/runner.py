@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from unify_spark.operators.base import Constraint, ValidationContext, empty_violations
 from unify_spark.plans.audit import AuditLog
+from unify_spark.plans.retry import with_retries
 
 
 @dataclass
@@ -193,18 +194,23 @@ class ValidationRunner:
                                     "violation_count": n,
                                 }
                             )
-                # phase 1: part-grain lineage rows land BEFORE the violation
-                # write, so a kill mid-stage leaves a partial audit that the
-                # next run resumes at partition grain
-                self.audit.append(part_rows)
-
                 if total:
                     # partial reruns append (prior parts' violation files stay);
-                    # fresh stages overwrite
+                    # fresh stages overwrite. Retried with backoff: a transient
+                    # sink failure must not abort the stage (retry.py taxonomy).
                     mode = "append" if partial else "overwrite"
-                    vio.limit(self.ctx.violation_cap).coalesce(1).write.mode(
-                        mode
-                    ).parquet(os.path.join(self.out_dir, "violations", _safe(c.name)))
+                    with_retries(
+                        lambda: vio.limit(self.ctx.violation_cap)
+                        .coalesce(1)
+                        .write.mode(mode)
+                        .parquet(os.path.join(self.out_dir, "violations", _safe(c.name)))
+                    )
+                # phase 1: part-grain lineage rows land AFTER the violation
+                # write — a kill between the two leaves violations without
+                # lineage (rewritten by the resumed run) rather than 'fail'
+                # lineage whose evidence rows were never persisted (which a
+                # partition-grain resume would skip forever)
+                self.audit.append(part_rows)
             finally:
                 vio.unpersist()
 
@@ -456,10 +462,14 @@ class ValidationRunner:
             capped = fused.withColumn("_rn", F.row_number().over(w)).filter(
                 F.col("_rn") <= self.ctx.violation_cap
             ).drop("_rn")
-            capped.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("constraint").parquet(
-                os.path.join(self.out_dir, "violations_fused")
+            # retried with backoff like run()'s per-stage write (retry.py);
+            # the fused violation write lands BEFORE the audit rows below,
+            # preserving violations-before-lineage ordering
+            with_retries(
+                lambda: capped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("constraint")
+                .parquet(os.path.join(self.out_dir, "violations_fused"))
             )
         finally:
             fused.unpersist()
