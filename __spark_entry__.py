@@ -256,7 +256,12 @@ def q_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs >= 0.2 (rows-only check)."""
+    """Exact 3-gram Jaccard pairs >= 0.2 — fully oracle-checked: shingles
+    are plain token trigrams (no engine-specific hashing), so DuckDB
+    reproduces identical (id_a, id_b, jaccard) rows via
+    regexp_split_to_array + slice + self-join. The hot-shingle cap
+    (default 10000) is a no-op at oracle scale (500 docs), so both sides
+    compute over the identical shingle universe."""
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -769,6 +774,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(event_id AS VARCHAR) AS key, 'user_id' AS "column"
             FROM events WHERE event_type = 'purchase' AND user_id IS NULL
+        """,
+        "q_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM toks
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM (
+              SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+            ) WHERE jaccard >= 0.2
         """,
         "q_embed_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -51,7 +51,10 @@ HEADLINE_QUERIES = [
     "q_dedup_exact_docs",
     "q_minhash_candidates",
     "q_simhash_candidates",
+    "q_ngram_jaccard",
     "q_lsh_ann",
+    "q_ivf_ann",
+    "q_winnow_candidates",
     "q_drift_histogram",
 ]
 

@@ -101,6 +101,61 @@ def test_json_config_and_relative_paths(spark, fixture_dir, tmp_path):
     assert tables["clips"].count() > 0
 
 
+def test_cli_validate_baseline_cross_run_drift(spark, tmp_path, capsys):
+    """End-to-end cross-run drift through the CLI: run 1 persists its
+    drift-histogram sidecar under --out; run 2 with --baseline <out1> scores
+    its partitions against it. The current run's two partitions are shifted
+    IDENTICALLY, so in-run drift (part vs rest) passes and the only failure
+    is the cross-run one — isolating the --baseline path."""
+    import numpy as np
+
+    from unify_spark import cli
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base_rows = [(float(v), p) for p in ("p1", "p2")
+                 for v in rng.normal(150, 20, 2000).clip(1, 299)]
+    cur_rows = [(float(v), p) for p in ("p3", "p4")
+                for v in rng.normal(60, 10, 2000).clip(1, 299)]
+    base_path = str(tmp_path / "clips_base")
+    cur_path = str(tmp_path / "clips_cur")
+    spark.createDataFrame(base_rows, ["dur_ms", "part_date"]).write.parquet(base_path)
+    spark.createDataFrame(cur_rows, ["dur_ms", "part_date"]).write.parquet(cur_path)
+
+    def cfg(clips_path, run_id):
+        p = str(tmp_path / f"{run_id}.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(
+                {
+                    "run_id": run_id,
+                    "tables": {"clips": clips_path},
+                    "constraints": [
+                        {"type": "drift", "table": "clips", "column": "dur_ms",
+                         "bounds": [0, 300]},
+                    ],
+                },
+                f,
+            )
+        return p
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    rc1 = cli.main(["validate", "--config", cfg(base_path, "r1"), "--out", out1])
+    r1 = json.loads((o := capsys.readouterr().out)[o.index("{"):])
+    assert rc1 == 0 and r1["drift_histograms_persisted"] == 1
+    assert os.path.exists(os.path.join(out1, "drift_hist"))
+
+    rc2 = cli.main(
+        ["validate", "--config", cfg(cur_path, "r2"), "--out", out2,
+         "--baseline", out1]
+    )
+    r2 = json.loads((o := capsys.readouterr().out)[o.index("{"):])
+    assert rc2 == 1 and not r2["passed"]
+    assert r2["total_violations"] == 0  # in-run drift passed: p3 ≈ p4
+    assert r2["drift_vs_baseline_failed"] == 2  # both parts drifted vs run 1
+    assert {d["part"]: d["failed"] for d in r2["drift_vs_baseline"]} == {
+        "p3": True, "p4": True,
+    }
+
+
 def test_unknown_constraint_type_rejected():
     with pytest.raises(ValueError, match="unknown constraint type"):
         parse_suite_config(

@@ -72,6 +72,48 @@ def cmd_infer_json_schema(args) -> int:
     return 0
 
 
+def _finish_validate(args, runner, tables, constraints, res) -> int:
+    """Shared validate epilogue: persist this run's drift-histogram sidecar,
+    optionally score cross-run drift against a prior run's sidecar
+    (``--baseline``), print the JSON report, map to the exit code."""
+    if args.profile:
+        runner.profile(tables)
+    report = {
+        "run_id": res.run_id,
+        "passed": res.passed,
+        "total_violations": res.total_violations,
+        "violation_counts": res.violation_counts,
+        "skipped_stages": res.skipped,
+        "stage_errors": res.errors,
+        "wall_sec": round(res.wall_sec, 3),
+    }
+    # always persist the bounded drift histograms (n_parts × n_bins rows per
+    # constraint — metadata-sized) so THIS run can be a later run's baseline
+    n_hist = runner.persist_drift_histograms(tables, constraints)
+    if n_hist:
+        report["drift_histograms_persisted"] = n_hist
+    if args.baseline:
+        scored = runner.drift_vs_baseline(tables, constraints, args.baseline).collect()
+        report["drift_vs_baseline"] = [
+            {
+                "constraint": r["constraint"],
+                "part": r["part"],
+                "psi": round(r["psi"], 4),
+                "ks": round(r["ks"], 4),
+                "failed": bool(r["failed"]),
+            }
+            for r in sorted(scored, key=lambda r: (r["constraint"], str(r["part"])))
+        ]
+        n_drifted = sum(1 for r in scored if r["failed"])
+        report["drift_vs_baseline_failed"] = n_drifted
+        if n_drifted:
+            report["passed"] = False
+    print(json.dumps(report, indent=2, sort_keys=True))
+    if res.errors:
+        return 2
+    return 0 if report["passed"] else 1
+
+
 def cmd_validate(args) -> int:
     from unify_spark.operators.base import ValidationContext
     from unify_spark.plans import ValidationRunner, audio_suite
@@ -99,21 +141,7 @@ def cmd_validate(args) -> int:
             res = runner.run_fused(tables, cfg.constraints, resume=not args.no_resume)
         else:
             res = runner.run(tables, cfg.constraints, resume=not args.no_resume)
-        if args.profile:
-            runner.profile(tables)
-        report = {
-            "run_id": res.run_id,
-            "passed": res.passed,
-            "total_violations": res.total_violations,
-            "violation_counts": res.violation_counts,
-            "skipped_stages": res.skipped,
-            "stage_errors": res.errors,
-            "wall_sec": round(res.wall_sec, 3),
-        }
-        print(json.dumps(report, indent=2, sort_keys=True))
-        if res.errors:
-            return 2
-        return 0 if res.passed else 1
+        return _finish_validate(args, runner, tables, cfg.constraints, res)
 
     if not args.tables:
         print("error: --tables is required without --config", file=sys.stderr)
@@ -162,21 +190,7 @@ def cmd_validate(args) -> int:
         res = runner.run_fused(tables, constraints, resume=not args.no_resume)
     else:
         res = runner.run(tables, constraints, resume=not args.no_resume)
-    if args.profile:
-        runner.profile(tables)
-    report = {
-        "run_id": res.run_id,
-        "passed": res.passed,
-        "total_violations": res.total_violations,
-        "violation_counts": res.violation_counts,
-        "skipped_stages": res.skipped,
-        "stage_errors": res.errors,
-        "wall_sec": round(res.wall_sec, 3),
-    }
-    print(json.dumps(report, indent=2, sort_keys=True))
-    if res.errors:
-        return 2
-    return 0 if res.passed else 1
+    return _finish_validate(args, runner, tables, constraints, res)
 
 
 def cmd_compile_schema(args) -> int:
@@ -305,6 +319,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="single-job fused plan (max throughput; stage-grain resume off)")
     s.add_argument("--profile", action="store_true",
                    help="also persist column statistics to <out>/profile")
+    s.add_argument("--baseline", default=None, metavar="DIR",
+                   help="a PRIOR run's --out directory: score this run's "
+                        "partitions against its persisted drift-histogram "
+                        "sidecar (<dir>/drift_hist); any cross-run drift "
+                        "failure fails the run")
     s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("compile-schema", help="compile a schema DSL (YAML/JSON) to artifacts")

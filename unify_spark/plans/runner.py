@@ -516,6 +516,67 @@ class ValidationRunner:
     def verdict_matrix(self) -> DataFrame:
         return self.audit.verdicts(self.ctx.run_id)
 
+    # -- cross-run drift sidecars --------------------------------------------
+
+    def persist_drift_histograms(
+        self, tables: dict[str, DataFrame], constraints: list[Constraint]
+    ) -> int:
+        """Write this run's per-partition histograms for every bounded
+        DriftConstraint to <out>/drift_hist — the persisted-baseline sidecar
+        a LATER run scores itself against without touching this run's data
+        (drift.py histogram_rows). Returns the number of constraints
+        persisted. Bounded constraints only: stable bins across runs need
+        contract bounds."""
+        from unify_spark.operators.drift import DriftConstraint
+
+        drifts = [
+            c for c in constraints if isinstance(c, DriftConstraint) and c.bounds
+        ]
+        if not drifts:
+            return 0
+        out = drifts[0].histogram_rows(tables, self.ctx)
+        for c in drifts[1:]:
+            out = out.unionByName(c.histogram_rows(tables, self.ctx))
+        with_retries(
+            lambda: out.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.out_dir, "drift_hist"))
+        )
+        return len(drifts)
+
+    def drift_vs_baseline(
+        self,
+        tables: dict[str, DataFrame],
+        constraints: list[Constraint],
+        baseline_dir: str,
+    ) -> DataFrame:
+        """Score every bounded DriftConstraint's CURRENT partitions against
+        a PRIOR run's persisted histograms (<baseline_dir>/drift_hist):
+        (constraint, part, psi, ks, ks_crit, failed) rows. The baseline side
+        is a ≤ n_bins-row broadcast per constraint — cross-run drift costs
+        one histogram pass over the new data, never a rescan of the old."""
+        from unify_spark.operators.drift import DriftConstraint
+
+        hist_path = os.path.join(baseline_dir, "drift_hist")
+        baseline = self.spark.read.parquet(hist_path)
+        drifts = [
+            c for c in constraints if isinstance(c, DriftConstraint) and c.bounds
+        ]
+        if not drifts:
+            raise ValueError("no bounded DriftConstraint in the plan to baseline")
+        out = None
+        for c in drifts:
+            scored = c.scores_vs_baseline(tables, self.ctx, baseline).select(
+                F.lit(c.name).alias("constraint"),
+                "part",
+                "psi",
+                "ks",
+                "ks_crit",
+                "failed",
+            )
+            out = scored if out is None else out.unionByName(scored)
+        return out
+
 
 def _row_local_bundle_plan(df, constraints, table, ctx):
     """One-scan fused plan for a table's row-local constraints: per row, an
