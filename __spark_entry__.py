@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from unify_spark.functions import dedup, similarity, text
+from unify_spark.functions.sampling import hash_threshold as _thr
+from unify_spark.functions.text import PII_PATTERNS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -291,9 +293,14 @@ def q_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-fingerprint near-dup candidates (rows-only: the rolling
     hash isn't reproducible in DuckDB; edit-robustness pinned in
     tests/test_functions.py). min_shared=40 keeps candidates to genuinely
-    overlapping docs in this template-heavy synthetic corpus."""
+    overlapping docs in this template-heavy synthetic corpus, and
+    max_fp_freq=500 cuts the boilerplate fingerprint band (shared by
+    hundreds of template siblings — quadratic join mass, no discriminative
+    signal; the MOSS over-common-fingerprint rule)."""
     docs = _t(spark, sf, "documents")
-    return dedup.winnow_candidates(docs, "doc_id", "text", min_shared=40)
+    return dedup.winnow_candidates(
+        docs, "doc_id", "text", min_shared=40, max_fp_freq=500
+    )
 
 
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -502,6 +509,115 @@ def q_conditional_required(spark: SparkSession, sf: str) -> DataFrame:
     return c.violations({"events": ev}, ValidationContext()).select("key", "column")
 
 
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling (functions/sampling.py): keep ~25% of
+    documents by md5(doc_id) prefix — reproducible across runs, engines,
+    and partitionings, so the oracle re-derives the exact member set."""
+    from unify_spark.functions import sampling
+
+    docs = _t(spark, sf, "documents")
+    return sampling.sample_hash(docs, "doc_id", 0.25).select("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic sampling: purchases kept whole, clicks at
+    10%, everything else at 5% — the corpus-rebalancing primitive."""
+    from unify_spark.functions import sampling
+
+    ev = _t(spark, sf, "events")
+    out = sampling.stratified_sample(
+        ev, "event_id", "event_type", {"click": 0.10, "purchase": 1.0}, default_rate=0.05
+    )
+    return out.select("event_id", "event_type")
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split from contiguous hash ranges —
+    a document's split never changes as the corpus grows around it."""
+    from unify_spark.functions import sampling
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        sampling.split_columns("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (functions/packing.py): global
+    exclusive prefix sum of whitespace token counts (distributed two-phase
+    scan, never a single global window task) → chunk placement at a
+    256-token budget. Oracle is the plain SQL window — same numbers,
+    different physical plan."""
+    from unify_spark.functions import packing
+
+    docs = _t(spark, sf, "documents")
+    return packing.pack_documents(docs, "doc_id", "text", budget=256)
+
+
+def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII surface scan (functions/text.py PII_PATTERNS): per-row match
+    counts of email/ipv4/phone/ssn patterns. The testdata customer table
+    carries no free-text columns, so the query derives a deterministic
+    contact-card blob from the integer keys (same construction in the
+    oracle SQL) — every row has an email, and ip/phone/ssn appear on
+    modular subsets so the counts are non-trivial. Engine-portable regexes
+    (no lookaround) keep Java and RE2 agreeing."""
+    cust = _t(spark, sf, "customer")
+    key = F.col("c_custkey").cast("string")
+    nat = F.col("c_nationkey").cast("string")
+    blob = F.concat(
+        F.lit("u"), key, F.lit("@ex"), (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".com"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.lit(" 10.0."), nat, F.lit(".1"))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit(" 25-989-"),
+                F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                F.lit("-2988"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.lit(" 123-45-"),
+                F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counts = text.pii_counts(blob)
+    return cust.select(
+        "c_custkey",
+        *[expr.cast("long").alias(f"n_{name}") for name, expr in counts.items()],
+    )
+
+
+def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Formatting-insensitive exact dedup (normalize: lower, strip
+    punctuation, collapse whitespace, then md5): run over documents plus an
+    uppercased copy of itself, so every original/copy pair collides ONLY
+    after normalization. Two-phase — the window sees (id, 32-byte fp),
+    never the text."""
+    docs = _t(spark, sf, "documents")
+    shifted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    both = docs.select("doc_id", "text").unionByName(shifted)
+    return text.normalized_duplicates(both, "doc_id", "text")
+
+
+def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus top-20 bigrams by document frequency (boilerplate /
+    contamination signal); TakeOrdered top-k, not a full sort."""
+    docs = _t(spark, sf, "documents")
+    return text.top_ngrams(docs, "text", n=2, k=20)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -553,6 +669,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_violations": q_length_violations,
         "q_any_present": q_any_present,
         "q_conditional_required": q_conditional_required,
+        "q_sample_hash": q_sample_hash,
+        "q_stratified_sample": q_stratified_sample,
+        "q_split_assign": q_split_assign,
+        "q_pack_chunks": q_pack_chunks,
+        "q_pii_scan": q_pii_scan,
+        "q_dedup_normalized": q_dedup_normalized,
+        "q_top_ngrams": q_top_ngrams,
     }
 
 
@@ -809,5 +932,111 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
             FROM v, q WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id LIMIT 10
+        """,
+        # deterministic hash sampling: the 8-hex md5-prefix comparison is the
+        # engine-portable contract — thresholds come from the SAME
+        # hash_threshold() the Spark side uses, so rates can never drift
+        "q_sample_hash": f"""
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_thr(0.25)}'
+        """,
+        "q_stratified_sample": f"""
+            SELECT event_id, event_type FROM events
+            WHERE CASE
+              WHEN CAST(event_type AS VARCHAR) = 'purchase' THEN TRUE
+              WHEN CAST(event_type AS VARCHAR) = 'click'
+                THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_thr(0.10)}'
+              ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_thr(0.05)}'
+            END
+        """,
+        "q_split_assign": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN h < '{_thr(0.8)}' THEN 'train'
+                     WHEN h < '{_thr(0.9)}' THEN 'val'
+                     WHEN h < '{_thr(1.0)}' THEN 'test'
+                   END AS split
+            FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                  FROM documents)
+        """,
+        "q_pack_chunks": r"""
+            SELECT doc_id, n_tokens, tok_before,
+                   tok_before // 256 AS chunk_id,
+                   tok_before % 256 AS chunk_offset
+            FROM (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_before
+              FROM (
+                SELECT doc_id,
+                       COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)
+                         AS n_tokens
+                FROM documents
+              )
+            )
+        """,
+        "q_pii_scan": f"""
+            SELECT c_custkey,
+                   len(regexp_extract_all(blob, '{PII_PATTERNS["email"]}')) AS n_email,
+                   len(regexp_extract_all(blob, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                   len(regexp_extract_all(blob, '{PII_PATTERNS["phone"]}')) AS n_phone,
+                   len(regexp_extract_all(blob, '{PII_PATTERNS["ssn"]}')) AS n_ssn
+            FROM (
+              SELECT c_custkey,
+                     'u' || CAST(c_custkey AS VARCHAR)
+                     || '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.com'
+                     || CASE WHEN c_custkey % 3 = 0
+                          THEN ' 10.0.' || CAST(c_nationkey AS VARCHAR) || '.1'
+                          ELSE '' END
+                     || CASE WHEN c_custkey % 2 = 0
+                          THEN ' 25-989-'
+                               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                               || '-2988'
+                          ELSE '' END
+                     || CASE WHEN c_custkey % 5 = 0
+                          THEN ' 123-45-'
+                               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                       AS blob
+              FROM customer
+            )
+        """,
+        "q_dedup_normalized": r"""
+            WITH both_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents
+            ),
+            fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                       '\s+', ' ', 'g'))) AS norm_fp
+              FROM both_docs
+            )
+            SELECT doc_id, norm_fp, group_size FROM (
+              SELECT doc_id, norm_fp,
+                     COUNT(*) OVER (PARTITION BY norm_fp) AS group_size
+              FROM fp
+            ) WHERE group_size > 1
+        """,
+        "q_top_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+              FROM toks
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s FROM idx
+            )
+            SELECT s AS ngram, COUNT(*) AS doc_freq
+            FROM sh GROUP BY s
+            ORDER BY doc_freq DESC, ngram ASC
+            LIMIT 20
         """,
     }

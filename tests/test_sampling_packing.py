@@ -1,0 +1,210 @@
+"""Deterministic sampling + token-budget packing + text additions.
+
+The sampling family's load-bearing properties: determinism (same ids →
+same sample under any partitioning), rate accuracy, salt decorrelation,
+and threshold nesting (a 10% sample is a subset of the 30% sample — the
+property that makes hash sampling safe for progressive scale-up).
+Packing's load-bearing property: the distributed two-phase prefix sum is
+bit-identical to the naive single-window form.
+"""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from unify_spark.functions import packing, sampling, text
+
+
+# ---------------------------------------------------------------------------
+# hash sampling
+# ---------------------------------------------------------------------------
+
+
+def _ids(spark, n, parts=8):
+    return spark.range(n).repartition(parts).withColumnRenamed("id", "doc_id")
+
+
+def test_sample_hash_rate_and_determinism(spark):
+    df = _ids(spark, 20000)
+    kept1 = {r["doc_id"] for r in sampling.sample_hash(df, "doc_id", 0.1).collect()}
+    assert abs(len(kept1) / 20000 - 0.1) < 0.02
+    # repartitioning must not change membership (partition-independence)
+    kept2 = {
+        r["doc_id"]
+        for r in sampling.sample_hash(_ids(spark, 20000, parts=3), "doc_id", 0.1).collect()
+    }
+    assert kept1 == kept2
+
+
+def test_sample_hash_nesting(spark):
+    """Lower-rate samples are strict subsets of higher-rate samples (same
+    salt): thresholds nest, so scaling a pipeline from 1% to 10% only ADDS
+    documents — no churn in the already-processed set."""
+    df = _ids(spark, 10000)
+    s10 = {r["doc_id"] for r in sampling.sample_hash(df, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in sampling.sample_hash(df, "doc_id", 0.3).collect()}
+    assert s10 < s30
+
+
+def test_sample_hash_salt_decorrelates(spark):
+    df = _ids(spark, 20000)
+    a = {r["doc_id"] for r in sampling.sample_hash(df, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in sampling.sample_hash(df, "doc_id", 0.5, salt="b").collect()}
+    # independent halves overlap on ~25%, not ~50%
+    assert abs(len(a & b) / 20000 - 0.25) < 0.03
+
+
+def test_sample_hash_edge_rates(spark):
+    df = _ids(spark, 100)
+    assert sampling.sample_hash(df, "doc_id", 1.0).count() == 100
+    assert sampling.sample_hash(df, "doc_id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        sampling.hash_threshold(1.5)
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = sampling.stratified_sample(
+        df, "id", "stratum", {"a": 1.0, "b": 0.1}, default_rate=0.0
+    )
+    by = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert by["a"] == 5000
+    assert abs(by.get("b", 0) / 5000 - 0.1) < 0.03
+    # unlisted strata fall to default_rate
+    df2 = spark.createDataFrame([(i, "c") for i in range(100)], ["id", "stratum"])
+    assert sampling.stratified_sample(df2, "id", "stratum", {"a": 1.0}).count() == 0
+
+
+def test_split_columns_disjoint_exhaustive(spark):
+    df = _ids(spark, 10000)
+    out = df.select(
+        "doc_id",
+        sampling.split_columns("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+    )
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}  # no null bucket at these rates
+    assert sum(by.values()) == 10000
+    assert abs(by["train"] / 10000 - 0.8) < 0.02
+    # determinism: a row's split is a pure function of its id
+    out2 = df.repartition(3).select(
+        "doc_id",
+        sampling.split_columns("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+    )
+    assert out.exceptAll(out2).count() == 0
+    with pytest.raises(ValueError):
+        sampling.split_columns("doc_id", {"a": 0.9, "b": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# token-budget packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_matches_single_window(spark):
+    """The distributed two-phase prefix sum must be bit-identical to the
+    naive global-window form it replaces."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 400)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+
+    got = packing.pack_chunks(df, "doc_id", "n_tok", budget=512, num_shards=7)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_before"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tok_before",
+        (F.col("tok_before") / 512).cast("long").alias("chunk_id"),
+        (F.col("tok_before") % 512).alias("chunk_offset"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_pack_chunks_shard_invariance(spark):
+    rows = [(i, (i * 13) % 97) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    a = packing.pack_chunks(df, "doc_id", "n_tok", budget=100, num_shards=1)
+    b = packing.pack_chunks(df, "doc_id", "n_tok", budget=100, num_shards=16)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_chunks_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, None), (5, 50)], ["doc_id", "n_tok"]
+    )
+    rows = {r["doc_id"]: r for r in packing.pack_chunks(df, "doc_id", "n_tok", budget=256).collect()}
+    assert rows[1]["tok_before"] == 0 and rows[1]["chunk_id"] == 0
+    assert rows[3]["tok_before"] == 200 and rows[3]["chunk_id"] == 0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["tok_before"] == 300
+    assert rows[4]["chunk_id"] == 1 and rows[4]["chunk_offset"] == 44
+    assert rows[5]["tok_before"] == 300  # null-token row occupies no budget
+    assert all(0 <= r["chunk_offset"] < 256 for r in rows.values())
+
+
+def test_pack_documents_counts_ws_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in packing.pack_documents(df, "doc_id", "text", budget=4).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["tok_before"] == 3 and rows[3]["chunk_offset"] == 3
+
+
+# ---------------------------------------------------------------------------
+# text additions: normalization dedup, PII scan, corpus n-grams
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_and_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO ... world"),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    norm = {r["doc_id"]: r["n"] for r in df.select("doc_id", text.normalize_text("text").alias("n")).collect()}
+    assert norm[1] == norm[2] == norm[3] == "hello world"
+    dups = text.normalized_duplicates(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in dups} == {1, 2, 3}
+    assert all(r["group_size"] == 3 for r in dups)
+
+
+def test_pii_counts(spark):
+    blob = (
+        "contact a@b.com or c.d+x@e.org, server 10.0.0.1, "
+        "call 25-989-741-2988, ssn 123-45-6789"
+    )
+    df = spark.createDataFrame([(1, blob), (2, "clean text"), (3, None)], ["id", "t"])
+    rows = {r["id"]: r for r in text.with_pii(df, "t").collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 1
+    assert rows[1]["n_ssn"] == 1
+    assert rows[2]["n_email"] == 0
+    assert rows[3]["n_email"] is None  # null text stays null (fail-at-end convention)
+
+
+def test_top_ngrams_doc_freq(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the cat the cat"),  # repeated within doc counts ONCE
+            (4, "a dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = [(r["ngram"], r["doc_freq"]) for r in text.top_ngrams(df, "text", n=2, k=3).collect()]
+    assert rows[0] == ("the cat", 3)
+    # deterministic tie-break: doc_freq desc, then ngram asc
+    assert rows[1:] == sorted(rows[1:], key=lambda t: (-t[1], t[0]))

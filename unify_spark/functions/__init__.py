@@ -1,10 +1,21 @@
 from unify_spark.functions.text import (  # noqa: F401
     fingerprint,
     lang_id,
+    normalize_text,
+    normalized_duplicates,
+    pii_counts,
     quality_features,
     token_count,
+    top_ngrams,
+    with_pii,
     with_winnow_fingerprints,
 )
+from unify_spark.functions.sampling import (  # noqa: F401
+    sample_hash,
+    split_columns,
+    stratified_sample,
+)
+from unify_spark.functions.packing import pack_chunks, pack_documents  # noqa: F401
 from unify_spark.functions.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_candidates,

@@ -47,6 +47,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    session's shuffle parallelism — the small-file case where one parquet
+    split would serialize the whole shingle/fingerprint compute stage (a
+    5 MB single-row-group file cannot be split by maxPartitionBytes). The
+    shuffled payload is the slim (id, text) projection the caller already
+    made. At production scale input splits >> cores and this is a no-op."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -58,7 +71,8 @@ def minhash_signatures(
     shingling ONCE per row and the k mins combine map-side, so the shuffle
     carries only k longs per (id, input-partition). This is also the shape
     that survives 10^9 documents: state is bounded by ids × k."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    src = _ensure_parallel(df.select(F.col(id_col), F.col(text_col)))
+    sh = src.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -86,6 +100,15 @@ def _drop_hot_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> Da
         return banded
     from pyspark.sql import Window
 
+    # explicit-width repartition on the join keys: the banded set is SMALL
+    # on the wire (ids + band hashes), so AQE coalesces its exchange to a
+    # handful of partitions — and then the self-join EXPLODES inside those
+    # few tasks (join output >> join input is invisible to AQE's input-size
+    # coalescing; measured 8 tasks grinding 100M pair rows). A user-specified
+    # partition count is exempt from AQE coalescing, the window clusters on
+    # it with no extra exchange, and the self-join reuses it on both aliases.
+    p = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(p, *keys)
     w = Window.partitionBy(*keys)
     return (
         banded.withColumn("_bn", F.count(F.lit(1)).over(w))
@@ -166,7 +189,8 @@ def minhash_candidates(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: explode tokens, hash, per-bit majority
     vote via 64 conditional sums (one hash-aggregate; no UDF)."""
-    tok = df.select(
+    src = _ensure_parallel(df.select(F.col(id_col), F.col(text_col)))
+    tok = src.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = [
@@ -253,7 +277,8 @@ def ngram_jaccard_pairs(
     filtered shingle universe (Jaccard stays exact over that universe —
     counting sizes pre-filter would systematically underestimate).
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    src = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
     # same inline-window cap as the LSH banders (rides the self-join's shuffle)
     sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -301,7 +326,11 @@ def winnow_candidates(
     from unify_spark.functions.text import with_winnow_fingerprints
 
     fps = with_winnow_fingerprints(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, "_fps", k, w
+        _ensure_parallel(df.select(F.col(id_col).alias("id"), F.col(text_col))),
+        text_col,
+        "_fps",
+        k,
+        w,
     )
     fp = fps.select("id", F.explode("_fps").alias("f")).distinct()
     fp = _drop_hot_buckets(fp, ["f"], max_fp_freq)

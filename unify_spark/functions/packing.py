@@ -1,0 +1,117 @@
+"""Token-budget sequence packing — the concat-and-chunk step of LLM
+pretraining data prep.
+
+Semantics (the standard one): order documents deterministically (by id),
+concatenate their token streams, and cut every ``budget`` tokens. Each
+document is tagged with the chunk where it STARTS (``chunk_id``) and its
+token offset inside that chunk (``chunk_offset``); a document may straddle
+a boundary (straddle handling — split vs drop vs pad — is the tokenizer
+stage's business, this operator supplies the placement). Everything reduces
+to a global exclusive prefix sum of per-document token counts:
+
+    tok_before(d) = sum of n_tokens over all ids < d
+    chunk_id      = tok_before / budget        (integer division)
+    chunk_offset  = tok_before % budget
+
+Scale design: a naive ``Window.orderBy(id)`` with no partition key funnels
+the whole table through ONE task — the classic global-window trap. The
+distributed prefix sum here is the textbook two-phase scan:
+
+1. range-repartition + sort by id (one shuffle of slim (id, n_tokens)
+   rows — at 10^9 docs that's GBs, not the corpus; the text never moves),
+   pin the partitioning with ``persist`` so both phases see identical
+   partition ids (AQE cannot re-coalesce a materialized exchange);
+2. per-partition token totals (P rows) → driver-side exclusive prefix
+   offsets (P integers — metadata, not data) shipped back in the task
+   closure;
+3. one vectorized Arrow pass (mapInPandas, numpy cumsum) adds
+   local-exclusive-cumsum + partition offset. Intra-partition row order is
+   preserved through mapInPandas, so the sortWithinPartitions order holds.
+
+The result is identical to the single-window form (pytest pins that) and to
+a plain SQL window (DuckDB oracle), but every stage is partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from unify_spark.functions import text as text_fn
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, tok_before, chunk_id, chunk_offset) for every row of
+    ``df``, global order by ``id_col``. ``num_shards`` defaults to the
+    session's shuffle partitions. Null token counts count as 0 (the row
+    still occupies a slot in the order)."""
+    spark = df.sparkSession
+    p = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    slim = df.select(
+        F.col(id_col).alias("_pack_id"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
+    )
+    sharded = (
+        slim.repartitionByRange(p, "_pack_id")
+        .sortWithinPartitions("_pack_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in sharded.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"_pack_id {id_type}, n_tokens long, tok_before long, "
+        "chunk_id long, chunk_offset long"
+    )
+    b = int(budget)
+
+    def add_prefix(batches):
+        import numpy as np
+
+        run = None  # partition-local running total across Arrow batches
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run is None:
+                run = int(offsets.get(int(pdf["_pid"].iloc[0]), 0))
+            n = pdf["n_tokens"].to_numpy(dtype="int64")
+            before = run + np.concatenate(([0], np.cumsum(n)[:-1]))
+            run = int(before[-1] + n[-1])
+            yield pdf.assign(
+                tok_before=before,
+                chunk_id=before // b,
+                chunk_offset=before % b,
+            ).drop(columns=["_pid"])
+
+    out = sharded.mapInPandas(add_prefix, out_schema)
+    # the persisted slim frame is what keeps the two phases' partition ids
+    # consistent; it is tiny relative to the corpus and left to LRU eviction
+    # (an eager unpersist here would invalidate the lazy mapInPandas plan)
+    return out.withColumnRenamed("_pack_id", id_col)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Convenience: whitespace-token counts then ``pack_chunks``."""
+    with_counts = df.withColumn("_n_tok", text_fn.token_count(text_col))
+    return pack_chunks(with_counts, id_col, "_n_tok", budget, num_shards)

@@ -1,0 +1,101 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random `df.sample()` is non-reproducible across runs/partitionings, which
+breaks dataset versioning: re-running the pipeline yields a different
+corpus. The standard fix (used by every large-scale dedup/sampling paper
+since CC-Net) is HASH sampling — keep a row iff a stable hash of its id
+lands under a threshold. Properties:
+
+- deterministic: same ids → same sample, regardless of partitioning,
+  cluster size, or engine (md5 is engine-portable, so DuckDB oracles it);
+- consistent across tables: joining two hash-samples of related tables at
+  the same rate keeps referential integrity for the kept keys;
+- pure Column expression: JVM-side, whole-stage codegen, filter pushes
+  toward the scan; zero shuffle.
+
+Threshold mechanics: the first 8 hex chars of md5 are compared
+lexicographically against ``hex(rate * 16^8)`` — fixed-width lowercase hex
+compares identically to the numeric value, and both Spark and DuckDB emit
+lowercase md5, so the SQL oracle is a string comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_WIDTH = 8
+_HEX_SPACE = 16**_HEX_WIDTH
+
+
+def hash_threshold(rate: float) -> str:
+    """The 8-hex-digit threshold for ``rate``; md5-prefix < threshold keeps
+    ~rate of rows. Exposed so oracle SQL can embed the identical literal."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_WIDTH}x")
+
+
+def hash_keep(col: Column | str, rate: float, salt: str = "") -> Column:
+    """Boolean keep-predicate: md5(id||salt) prefix under the rate threshold.
+    ``salt`` decorrelates independent samples drawn from the same ids (e.g.
+    a 10% eval split disjoint-by-construction from a 10% train split uses
+    two salts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if rate >= 1.0:
+        return F.lit(True)
+    h = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    return h < F.lit(hash_threshold(rate))
+
+
+def sample_hash(df: DataFrame, id_col: str, rate: float, salt: str = "") -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by id hash."""
+    return df.where(hash_keep(id_col, rate, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — the rebalancing primitive
+    (downsample the dominant web crawl, keep all of the rare high-quality
+    stratum). ``rates`` maps stratum value → keep rate; strata not listed
+    get ``default_rate``. The rates dict compiles to a CASE expression
+    (plan literals, broadcast with the plan — no join, no shuffle); a
+    million-stratum table would use a broadcast join instead, but quality
+    tiers / language buckets are small."""
+    keep = hash_keep(id_col, default_rate, salt)
+    s = F.col(strata_col).cast("string")
+    for value, rate in sorted(rates.items()):
+        keep = F.when(s == F.lit(str(value)), hash_keep(id_col, rate, salt)).otherwise(
+            keep
+        )
+    return df.where(keep)
+
+
+def split_columns(
+    col: Column | str, splits: dict[str, float], salt: str = ""
+) -> Column:
+    """Assign each row a split label ("train"/"val"/"test", …) from
+    contiguous hash ranges — disjoint and exhaustive iff rates sum to 1.
+    Deterministic: a row's split never changes when data is added around it.
+    Returns a string Column; rows past the last boundary get null (use a
+    catch-all split to avoid that)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    cum = 0.0
+    bounds = []
+    for name, rate in splits.items():
+        cum += rate
+        bounds.append((name, hash_threshold(min(cum, 1.0))))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"split rates sum to {cum} > 1")
+    # cascading whens in ascending-threshold order: first boundary the hash
+    # falls under wins, so ranges are contiguous and disjoint
+    expr = F.lit(None).cast("string")
+    for name, thr in bounds:
+        expr = F.coalesce(expr, F.when(h < F.lit(thr), F.lit(name)))
+    return expr

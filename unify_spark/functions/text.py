@@ -166,3 +166,83 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, expr in feats.items():
         out = out.withColumn(name, expr)
     return out
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup: lowercase, strip everything
+    but letters/digits/whitespace, collapse whitespace, trim. Catches the
+    near-dups whole-document md5 misses (case, punctuation, formatting).
+    Pure Column expression; DuckDB reproduces it with the same regexes
+    (global flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), _WS, " ")
+    )
+
+
+def normalized_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, norm_fp, group_size) for rows whose NORMALIZED text collides
+    with at least one other row — formatting-insensitive exact dedup, the
+    tier between byte-exact md5 and MinHash. Two-phase like the uniqueness
+    constraint: only (id, 32-byte fp) shuffles, never the text."""
+    from pyspark.sql import Window
+
+    fp = df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("norm_fp")
+    )
+    w = Window.partitionBy("norm_fp")
+    return (
+        fp.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") > 1)
+        .select(id_col, "norm_fp", "group_size")
+    )
+
+
+# Simple, engine-portable PII surface patterns (no lookaround, so Java
+# regex and RE2/DuckDB agree): the redaction-pipeline pre-filter. A real
+# deployment chains an NER model behind this cheap column-expression gate.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern non-overlapping match counts (regexp_count — JVM-side,
+    codegen). Keys become ``n_<name>`` columns in ``with_pii``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(p)) for name, p in PII_PATTERNS.items()}
+
+
+def with_pii(df: DataFrame, text_col: str) -> DataFrame:
+    out = df
+    for name, expr in pii_counts(text_col).items():
+        out = out.withColumn(f"n_{name}", expr)
+    return out
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k token n-grams by DOCUMENT frequency (number of
+    documents containing the gram — the boilerplate/contamination signal;
+    shingles are distinct-per-doc, which is exactly doc frequency after the
+    explode). Deterministic ties (doc_freq desc, ngram asc).
+    explode→groupBy gets map-side partial aggregation; the orderBy+limit
+    compiles to TakeOrdered (per-partition top-k then a k-row driver
+    merge), never a full sort shuffle."""
+    from unify_spark.functions.dedup import shingles
+
+    grams = df.select(
+        F.explode(shingles(F.col(text_col), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(k)
+    )
