@@ -545,6 +545,18 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_take_per_stratum(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count deterministic sampling: the 50 events per type with the
+    smallest id-hash — quota sampling that rate-based hash sampling can't
+    express, still partition-independent and engine-reproducible."""
+    from unify_spark.functions import sampling
+
+    ev = _t(spark, sf, "events")
+    return sampling.take_per_stratum(ev, "event_id", "event_type", 50).select(
+        "event_id", "event_type"
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget sequence packing (functions/packing.py): global
     exclusive prefix sum of whitespace token counts (distributed two-phase
@@ -672,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_hash": q_sample_hash,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
+        "q_take_per_stratum": q_take_per_stratum,
         "q_pack_chunks": q_pack_chunks,
         "q_pii_scan": q_pii_scan,
         "q_dedup_normalized": q_dedup_normalized,
@@ -958,6 +971,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS split
             FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
                   FROM documents)
+        """,
+        "q_take_per_stratum": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                     ) AS rn
+              FROM events
+            ) WHERE rn <= 50
         """,
         "q_pack_chunks": r"""
             SELECT doc_id, n_tokens, tok_before,

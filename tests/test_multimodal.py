@@ -102,3 +102,32 @@ def test_clipping_counts_negative_rail(spark):
     got = {r["clip_id"]: r for r in audio_features(df).collect()}
     assert got["c-neg"]["clipping_ratio"] == 1.0
     assert abs(got["c-half"]["clipping_ratio"] - 0.5) < 1e-9
+
+
+def test_audio_features_silence_and_dc(spark):
+    """silence_ratio flags dead air (frame-RMS under -40 dBFS) and
+    dc_offset exposes a biased channel; both computed in the same
+    vectorized decode pass as the other features."""
+    import numpy as np
+
+    from unify_spark.functions.multimodal import audio_features
+
+    sr = 16000
+    n = sr // 2  # 500 ms → 50 frames of 10 ms
+    loud = (10000 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)).astype("<i2")
+    silent = np.zeros(n, dtype="<i2")
+    half = np.concatenate([loud[: n // 2], silent[: n // 2]]).astype("<i2")
+    biased = (np.full(n, 5000) + loud // 4).astype("<i2")
+    rows = [
+        ("loud", loud.tobytes(), "pcm_s16le", sr),
+        ("silent", silent.tobytes(), "pcm_s16le", sr),
+        ("half", half.tobytes(), "pcm_s16le", sr),
+        ("biased", biased.tobytes(), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r["clip_id"]: r for r in audio_features(df).collect()}
+    assert got["loud"]["silence_ratio"] == 0.0
+    assert got["silent"]["silence_ratio"] == 1.0
+    assert abs(got["half"]["silence_ratio"] - 0.5) <= 0.06  # boundary frame slack
+    assert abs(got["loud"]["dc_offset"]) < 0.01
+    assert got["biased"]["dc_offset"] > 0.1

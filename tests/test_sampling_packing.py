@@ -208,3 +208,19 @@ def test_top_ngrams_doc_freq(spark):
     assert rows[0] == ("the cat", 3)
     # deterministic tie-break: doc_freq desc, then ngram asc
     assert rows[1:] == sorted(rows[1:], key=lambda t: (-t[1], t[0]))
+
+
+def test_take_per_stratum_exact_and_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = sampling.take_per_stratum(df, "id", "stratum", 100)
+    by = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert by == {"a": 100, "b": 100}
+    # deterministic: same member set under a different partitioning
+    got1 = {(r["id"], r["stratum"]) for r in out.collect()}
+    got2 = {(r["id"], r["stratum"]) for r in
+            sampling.take_per_stratum(df.repartition(5), "id", "stratum", 100).collect()}
+    assert got1 == got2
+    # a stratum smaller than n keeps all its rows
+    small = spark.createDataFrame([(i, "x") for i in range(7)], ["id", "stratum"])
+    assert sampling.take_per_stratum(small, "id", "stratum", 100).count() == 7

@@ -207,3 +207,46 @@ def test_row_level_stream_covers_new_families(spark, tmp_path):
     assert out["BAD 2"] == {"regex:clips.clip_id"}
     assert out["ok-3"] == {"length:clips.name"}
     assert out["ok-4"] == {"conditional:clips.when(kind = 'gated')"}
+
+
+def test_drift_monitor_foreach_batch(spark, tmp_path):
+    """Streaming cross-run drift: micro-batches scored against a persisted
+    baseline histogram; a matching batch passes, a shifted one fails, and
+    each batch costs one histogram pass (no state store)."""
+    import numpy as np
+
+    from unify_spark.operators.drift import DriftConstraint
+    from unify_spark.streaming import drift_monitor_foreach_batch
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    c = DriftConstraint("clips", "dur_ms", bounds=(0, 300))
+    ctx = ValidationContext()
+
+    base = spark.createDataFrame(
+        [(float(v), "p0") for v in rng.normal(150, 20, 3000).clip(1, 299)],
+        ["dur_ms", "part_date"],
+    )
+    baseline_dir = str(tmp_path / "run1")
+    c.histogram_rows({"clips": base}, ctx).write.mode("overwrite").parquet(
+        os.path.join(baseline_dir, "drift_hist")
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(float(v), "ok") for v in rng.normal(150, 20, 3000).clip(1, 299)]
+        + [(float(v), "shifted") for v in rng.normal(60, 10, 3000).clip(1, 299)],
+        ["dur_ms", "part_date"],
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("dur_ms double, part_date string").parquet(src)
+    out_dir = str(tmp_path / "mon")
+    q = drift_monitor_foreach_batch(
+        stream, [c], baseline_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    scored = spark.read.parquet(os.path.join(out_dir, "drift_stream"))
+    got = {r["part"]: r["failed"] for r in scored.collect()}
+    assert got == {"ok": False, "shifted": True}
+    assert {r["constraint"] for r in scored.collect()} == {"drift:clips.dur_ms"}

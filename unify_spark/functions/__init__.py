@@ -14,6 +14,7 @@ from unify_spark.functions.sampling import (  # noqa: F401
     sample_hash,
     split_columns,
     stratified_sample,
+    take_per_stratum,
 )
 from unify_spark.functions.packing import pack_chunks, pack_documents  # noqa: F401
 from unify_spark.functions.dedup import (  # noqa: F401

@@ -192,15 +192,21 @@ def audio_features(
     quality gates a speech-training pipeline filters on (silent clips,
     clipped recordings, DC-stuck channels).
 
+    Also emits silence_ratio (fraction of 10 ms frames under −40 dBFS —
+    the dead-air gate) and dc_offset (mean sample value — a stuck/biased
+    ADC shows here before anything else).
+
     One Arrow-batched mapInPandas pass; rows are grouped by (codec, byte
-    length) so decoding is 2-D-vectorized per group like the payload
-    constraint; undecodable rows emit nulls with a reason instead of
-    killing the job (fail-at-end)."""
+    length, sample rate) so decoding is 2-D-vectorized per group like the
+    payload constraint (sr joins the key because the silence frame length
+    is sr/100 samples); undecodable rows emit nulls with a reason instead
+    of killing the job (fail-at-end)."""
     from unify_spark.audio import pcm
 
     schema = (
         f"{id_col} string, rms_db double, peak double, zcr double, "
-        "clipping_ratio double, n_samples long, reason string"
+        "clipping_ratio double, silence_ratio double, dc_offset double, "
+        "n_samples long, reason string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,6 +220,8 @@ def audio_features(
                 "peak": np.full(n, np.nan),
                 "zcr": np.full(n, np.nan),
                 "clipping_ratio": np.full(n, np.nan),
+                "silence_ratio": np.full(n, np.nan),
+                "dc_offset": np.full(n, np.nan),
                 "n_samples": np.zeros(n, dtype=np.int64),
                 "reason": np.full(n, "", dtype=object),
             }
@@ -224,10 +232,12 @@ def audio_features(
             out["reason"][~ok] = "null bytes or unknown codec"
             blobs = pdf[bytes_col].to_numpy()
             codecs = pdf[codec_col].to_numpy()
+            srs = pdf[sr_col].to_numpy()
             groups: dict[tuple, list[int]] = {}
             for i in np.flatnonzero(ok):
-                groups.setdefault((codecs[i], len(blobs[i])), []).append(i)
-            for (codec, _bl), idxs in groups.items():
+                sr = int(srs[i]) if srs[i] and not pd.isna(srs[i]) else 16000
+                groups.setdefault((codecs[i], len(blobs[i]), sr), []).append(i)
+            for (codec, _bl, sr), idxs in groups.items():
                 try:
                     dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
                 except ValueError as e:
@@ -247,6 +257,18 @@ def audio_features(
                 out["clipping_ratio"][ii] = (
                     np.abs(dec.astype(np.int32)) >= 32767
                 ).mean(axis=1)
+                out["dc_offset"][ii] = x.mean(axis=1)
+                # silence: RMS per 10 ms frame (sr/100 samples) < −40 dBFS;
+                # clips shorter than one frame score as a single frame
+                frame = max(sr // 100, 1)
+                nf = x.shape[1] // frame
+                thr = 10.0 ** (-40.0 / 20.0)
+                if nf >= 1:
+                    fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
+                    frms = np.sqrt((fr * fr).mean(axis=2))
+                    out["silence_ratio"][ii] = (frms < thr).mean(axis=1)
+                else:
+                    out["silence_ratio"][ii] = (rms < thr).astype(np.float64)
                 out["n_samples"][ii] = dec.shape[1]
             yield pd.DataFrame(out)
 

@@ -76,6 +76,37 @@ def stratified_sample(
     return df.where(keep)
 
 
+def take_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-count deterministic sampling: the ``n`` rows per stratum whose
+    id-hash is smallest ("take 10k docs per language"). Rate-based sampling
+    can't hit exact quotas; this can, and stays deterministic and
+    partition-independent (the hash defines a global per-stratum order, so
+    adding rows elsewhere in the stratum only evicts from the boundary).
+
+    Plan shape: one shuffle on the stratum key + a row_number window over
+    the md5 order — the window input is whatever ``df`` carries, so project
+    first if rows are wide. A stratum's rows land in one partition; for
+    strata above ~10^8 rows use hash_keep with an estimated rate to
+    pre-thin before the exact window (two-phase quota), same as the
+    uniqueness constraint's two-phase shape."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col).cast("string")
+    h = F.md5(F.concat(c, F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def split_columns(
     col: Column | str, splits: dict[str, float], salt: str = ""
 ) -> Column:

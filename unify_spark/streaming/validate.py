@@ -99,3 +99,63 @@ def validate_stream_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor_foreach_batch(
+    stream_df: DataFrame,
+    constraints: list,
+    baseline_dir: str,
+    out_dir: str,
+    ctx: ValidationContext | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift monitor: score every micro-batch's
+    partitions against a PRIOR run's persisted drift histograms
+    (``<baseline_dir>/drift_hist`` — written by the batch runner /
+    ``validate`` CLI) and append (batch_id, constraint, part, psi, ks,
+    ks_crit, failed) rows to ``<out_dir>/drift_stream``.
+
+    This is the online half of the cross-run drift design: the baseline is
+    a ≤ n_bins-row broadcast per constraint, so each micro-batch costs ONE
+    histogram aggregation over its own rows — no state store, no rescan of
+    history, and the same bins/PSI/KS semantics as the batch path
+    (operators/drift.py scores_vs_baseline). Returns the started query."""
+    from unify_spark.operators.drift import DriftConstraint
+
+    base_ctx = ctx or ValidationContext()
+    drifts = [c for c in constraints if isinstance(c, DriftConstraint) and c.bounds]
+    if not drifts:
+        raise ValueError("drift monitor needs at least one bounded DriftConstraint")
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        baseline = batch_df.sparkSession.read.parquet(
+            os.path.join(baseline_dir, "drift_hist")
+        )
+        out = None
+        for c in drifts:
+            scored = c.scores_vs_baseline(
+                {c.table: batch_df}, base_ctx, baseline
+            ).select(
+                F.lit(batch_id).alias("batch_id"),
+                F.lit(c.name).alias("constraint"),
+                "part",
+                "psi",
+                "ks",
+                "ks_crit",
+                "failed",
+            )
+            out = scored if out is None else out.unionByName(scored)
+        out.coalesce(1).write.mode("append").parquet(
+            os.path.join(out_dir, "drift_stream")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
