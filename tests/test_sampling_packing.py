@@ -224,3 +224,59 @@ def test_take_per_stratum_exact_and_deterministic(spark):
     # a stratum smaller than n keeps all its rows
     small = spark.createDataFrame([(i, "x") for i in range(7)], ["id", "stratum"])
     assert sampling.take_per_stratum(small, "id", "stratum", 100).count() == 7
+
+
+# ---------------------------------------------------------------------------
+# corpus CLI subcommands
+# ---------------------------------------------------------------------------
+
+
+def test_cli_corpus_sample_and_pack(spark, tmp_path, capsys):
+    import json
+
+    from unify_spark import cli
+
+    src = str(tmp_path / "docs")
+    rows = [(i, " ".join(f"w{j}" for j in range(10)), "a" if i % 2 else "b")
+            for i in range(1000)]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+
+    out1 = str(tmp_path / "sampled")
+    rc = cli.main(["corpus-sample", "--table", src, "--out", out1, "--rate", "0.2"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and abs(r["n_sampled"] / 1000 - 0.2) < 0.05
+
+    out2 = str(tmp_path / "quota")
+    rc = cli.main(["corpus-sample", "--table", src, "--out", out2,
+                   "--stratum", "lang", "--quota", "50"])
+    capsys.readouterr()
+    assert rc == 0 and spark.read.parquet(out2).count() == 100
+
+    out3 = str(tmp_path / "packed")
+    rc = cli.main(["corpus-pack", "--table", src, "--out", out3, "--budget", "100"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and r["n_docs"] == 1000 and r["total_tokens"] == 10000
+    assert r["n_chunks"] == 100  # 10k tokens / 100-token budget
+
+    # missing mode flags → usage error
+    assert cli.main(["corpus-sample", "--table", src, "--out", out1]) == 2
+
+
+def test_cli_corpus_clean(spark, tmp_path, capsys):
+    import json
+
+    from unify_spark import cli
+
+    src = str(tmp_path / "docs")
+    base = " ".join(f"tok{j}" for j in range(30))
+    rows = [(1, base), (2, base + " extra"), (3, "short"),  # near-dups + low-quality
+            (4, " ".join(f"other{j}" for j in range(30)))]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    out = str(tmp_path / "clean")
+    rc = cli.main(["corpus-clean", "--table", src, "--out", out, "--min-tokens", "6"])
+    r = json.loads((o := capsys.readouterr().out)[o.index("{"):])
+    assert rc == 0
+    assert r["n_input"] == 4 and r["removed_quality"] == 1
+    kept = {x["doc_id"] for x in spark.read.parquet(out).collect()}
+    assert kept == {2, 4}  # doc 2 wins its cluster (more tokens than doc 1)

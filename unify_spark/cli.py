@@ -275,6 +275,115 @@ def cmd_retract(args) -> int:
     return 0
 
 
+def _parse_rates(specs: list[str]) -> dict[str, float]:
+    out = {}
+    for s in specs:
+        k, v = s.split("=", 1)
+        out[k] = float(v)
+    return out
+
+
+def cmd_corpus_clean(args) -> int:
+    """End-to-end corpus cleaning: quality gate → near-dup clustering →
+    canonical selection (functions/pipeline.py clean_corpus)."""
+    from unify_spark.functions.pipeline import clean_corpus
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-corpus-clean")
+    df = read_table(spark, args.table)
+    kept, report = clean_corpus(
+        df,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        min_est_jaccard=args.min_est_jaccard,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    kept.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_input": report.n_input,
+                "n_after_quality": report.n_after_quality,
+                "n_kept": report.n_kept,
+                "removed_quality": report.removed_quality,
+                "removed_duplicates": report.removed_duplicates,
+                "out": args.out,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+def cmd_corpus_sample(args) -> int:
+    """Deterministic hash sampling: flat rate, per-stratum rates, or exact
+    per-stratum quotas (functions/sampling.py)."""
+    from unify_spark.functions import sampling
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-corpus-sample")
+    df = read_table(spark, args.table)
+    if args.quota is not None:
+        if not args.stratum:
+            print("error: --quota needs --stratum", file=sys.stderr)
+            return 2
+        out = sampling.take_per_stratum(
+            df, args.id_col, args.stratum, args.quota, salt=args.salt
+        )
+    elif args.rates:
+        if not args.stratum:
+            print("error: --rates needs --stratum", file=sys.stderr)
+            return 2
+        out = sampling.stratified_sample(
+            df, args.id_col, args.stratum, _parse_rates(args.rates),
+            default_rate=args.rate or 0.0, salt=args.salt,
+        )
+    else:
+        if args.rate is None:
+            print("error: one of --rate / --rates / --quota required", file=sys.stderr)
+            return 2
+        out = sampling.sample_hash(df, args.id_col, args.rate, salt=args.salt)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"n_sampled": n, "out": args.out}))
+    return 0
+
+
+def cmd_corpus_pack(args) -> int:
+    """Token-budget sequence packing: writes (id, n_tokens, tok_before,
+    chunk_id, chunk_offset) placements (functions/packing.py)."""
+    from unify_spark.functions import packing
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-corpus-pack")
+    df = read_table(spark, args.table)
+    from pyspark.sql import functions as F
+
+    out = packing.pack_documents(df, args.id_col, args.text_col, budget=args.budget)
+    out.write.mode("overwrite").parquet(args.out)
+    packed = spark.read.parquet(args.out)
+    row = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("chunk_id") + 1).alias("n_chunks"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_docs": row["n_docs"],
+                "total_tokens": int(row["total_tokens"] or 0),
+                "n_chunks": int(row["n_chunks"] or 0),
+                "budget": args.budget,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_generate_fixture(args) -> int:
     from unify_spark.fixtures import generate_fixture
 
@@ -350,6 +459,38 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--run-id", required=True)
     s.set_defaults(fn=cmd_retract)
+
+    s = sub.add_parser("corpus-clean", help="quality-gate + dedup + canonicalize a corpus")
+    s.add_argument("--table", required=True, help="input parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--min-tokens", type=int, default=5)
+    s.add_argument("--max-punct-ratio", type=float, default=0.3)
+    s.add_argument("--min-est-jaccard", type=float, default=0.5)
+    s.set_defaults(fn=cmd_corpus_clean)
+
+    s = sub.add_parser("corpus-sample", help="deterministic hash sampling (rate/strata/quota)")
+    s.add_argument("--table", required=True, help="input parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--rate", type=float, default=None,
+                   help="flat keep rate (or default rate with --rates)")
+    s.add_argument("--stratum", default=None, help="stratum column for --rates/--quota")
+    s.add_argument("--rates", nargs="*", default=None, metavar="value=rate",
+                   help="per-stratum keep rates")
+    s.add_argument("--quota", type=int, default=None,
+                   help="exact rows per stratum (smallest id-hash wins)")
+    s.add_argument("--salt", default="", help="decorrelate independent samples")
+    s.set_defaults(fn=cmd_corpus_sample)
+
+    s = sub.add_parser("corpus-pack", help="token-budget sequence packing placements")
+    s.add_argument("--table", required=True, help="input parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
+    s.set_defaults(fn=cmd_corpus_pack)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
     s.add_argument("--out", required=True)
