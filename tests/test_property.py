@@ -138,3 +138,51 @@ def test_any_present_matches_python_reference(pspark, rows):
     got = {r["key"] for r in c.violations({"t": df}, ValidationContext()).collect()}
     want = {str(i) for i, (a, b) in enumerate(rows) if a is None and b is None}
     assert got == want
+
+
+# -- deterministic hash sampling (pure-Python mirror of the Column predicate) --
+
+import hashlib
+
+from unify_spark.functions.sampling import hash_threshold
+
+
+def _member(identifier, rate: float, salt: str = "") -> bool:
+    # exact mirror of sampling.hash_keep: md5(id||salt) 8-hex prefix < threshold
+    if rate >= 1.0:
+        return True
+    h = hashlib.md5((str(identifier) + salt).encode()).hexdigest()[:8]
+    return h < hash_threshold(rate)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0), st.floats(min_value=0.0, max_value=1.0))
+def test_hash_threshold_monotone_and_wellformed(r1, r2):
+    t1, t2 = hash_threshold(r1), hash_threshold(r2)
+    assert len(t1) == 8 and t1 == t1.lower()
+    if r1 <= r2:
+        assert t1 <= t2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hash_sample_membership_nests(ids, ra, rb):
+    """For any two rates, the lower-rate sample is a subset of the
+    higher-rate one — the no-churn property of threshold sampling."""
+    lo, hi = min(ra, rb), max(ra, rb)
+    for i in ids:
+        if _member(i, lo):
+            assert _member(i, hi)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200))
+def test_hash_sample_rate_bounds(ids):
+    """rate=0 keeps nothing, rate=1 keeps everything, and distinct salts
+    give genuinely different predicates on a big enough id set."""
+    assert not any(_member(i, 0.0) for i in ids)
+    assert all(_member(i, 1.0) for i in ids)

@@ -71,3 +71,52 @@ def test_lsh_ann_base_side_not_shuffled(spark):
     base_branch = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
     assert "MapInPandas" in base_branch
     assert "Exchange hashpartitioning" not in base_branch
+
+
+def test_pack_chunks_no_single_partition_exchange(spark):
+    """The packing prefix sum must never plan an Exchange SinglePartition —
+    that's the global-window trap the two-phase scan exists to avoid."""
+    from unify_spark.functions import packing
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("n_tok")
+    )
+    out = packing.pack_chunks(df, "doc_id", "n_tok", budget=64, num_shards=4)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan
+    # the naive window form DOES plan one (the contrast this guards against)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn("tok_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    assert "Exchange SinglePartition" in _plan(naive)
+
+
+def test_sample_hash_filter_is_scan_side(spark, tmp_path):
+    """Hash sampling is a pure filter: no Exchange in the plan at all, and
+    only the projected column is read from parquet."""
+    from unify_spark.functions import sampling
+
+    p = str(tmp_path / "docs")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = sampling.sample_hash(df, "doc_id", 0.25).select("doc_id")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_candidate_join_repartition_defeats_aqe_coalescing(spark):
+    """The hot-bucket cap's explicit repartition must appear as a
+    user-specified-width exchange on the band keys (AQE cannot coalesce it,
+    so the explosive self-join keeps full parallelism)."""
+    from unify_spark.functions import dedup
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared shared2") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.minhash_candidates(df, "doc_id", "text", num_hashes=8, bands=2)
+    plan = _plan(out)
+    assert "REPARTITION_BY_COL" in plan or "hashpartitioning(band_id" in plan
