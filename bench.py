@@ -123,7 +123,7 @@ def run_suite(master: str, shuffle_partitions: int, reps: int = 2) -> tuple[floa
         stop_spark()
 
 
-def run_headline(sf_dir: str) -> dict[str, float]:
+def run_headline(sf_dir: str, reps: int = 2) -> dict[str, float]:
     import __spark_entry__ as entry_mod
     from unify_spark.session import get_spark, stop_spark
 
@@ -134,11 +134,16 @@ def run_headline(sf_dir: str) -> dict[str, float]:
     try:
         # warm-up
         qs["q_stats_lineitem"](spark, sf_dir).collect()
-        for name in HEADLINE_QUERIES:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # full materialization
-            out[name] = round(time.time() - t0, 3)
+        # best-of-reps per query: single-shot walls on this shared host have
+        # recorded one-off 6-8x outliers (GC / neighbor contention) that a
+        # second run immediately disproves — a regression shows in BOTH reps
+        for rep in range(reps):
+            for name in HEADLINE_QUERIES:
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()  # full materialization
+                wall = round(time.time() - t0, 3)
+                out[name] = min(out.get(name, wall), wall)
     finally:
         stop_spark()
     return out

@@ -65,6 +65,22 @@ class ValidationRunner:
             for r in df.select(self.ctx.part_col).distinct().orderBy(self.ctx.part_col).collect()
         ]
 
+    def _table_stats(
+        self, tables: dict[str, DataFrame], table: str
+    ) -> tuple[int, list[str]]:
+        """(row_count, sorted partition universe) in ONE job — the separate
+        count + distinct pre-scans were two passes over each table per run;
+        groupBy(part).count() answers both from the same scan (and from
+        column stats alone when the table is hive/Iceberg-partitioned)."""
+        df = tables.get(table)
+        if df is None:
+            return 0, []
+        if self.ctx.part_col not in df.columns:
+            return df.count(), []
+        rows = df.groupBy(self.ctx.part_col).count().collect()
+        n = sum(r["count"] for r in rows)
+        return n, sorted(r[0] for r in rows)
+
     # -- main ----------------------------------------------------------------
 
     def run(
@@ -116,8 +132,9 @@ class ValidationRunner:
         # precompute shared per-table facts once (not per stage, not racy)
         for c in todo:
             if c.table in tables and c.table not in table_rows:
-                table_rows[c.table] = tables[c.table].count()
-                universes[c.table] = self._partition_universe(tables, c.table)
+                table_rows[c.table], universes[c.table] = self._table_stats(
+                    tables, c.table
+                )
 
         def run_stage(c: Constraint) -> None:
             t0 = time.time()
@@ -370,8 +387,9 @@ class ValidationRunner:
         universes: dict[str, list[str]] = {}
         for c in todo:
             if c.table in tables and c.table not in table_rows:
-                table_rows[c.table] = tables[c.table].count()
-                universes[c.table] = self._partition_universe(tables, c.table)
+                table_rows[c.table], universes[c.table] = self._table_stats(
+                    tables, c.table
+                )
 
         # partition-grain resume (mirrors run()): partition-local constraints
         # with recorded parts recompute only the missing partitions
