@@ -49,7 +49,12 @@ def pack_chunks(
     """(id, n_tokens, tok_before, chunk_id, chunk_offset) for every row of
     ``df``, global order by ``id_col``. ``num_shards`` defaults to the
     session's shuffle partitions. Null token counts count as 0 (the row
-    still occupies a slot in the order)."""
+    still occupies a slot in the order).
+
+    Contract: ``id_col`` must be unique — ties would make the order among
+    tied rows (and therefore their tok_before) partitioning-dependent, the
+    same way a SQL window ordered on a non-unique key is nondeterministic.
+    The uniqueness constraint is the upstream check for this."""
     spark = df.sparkSession
     p = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
