@@ -359,9 +359,18 @@ class ValidationRunner:
         from pyspark.sql import Window
 
         t_run = time.time()
+        # UNIFY_TIMING=1 prints a per-phase breakdown to stderr — the tool
+        # for hunting size-independent overhead (phases that do not shrink
+        # with more cores cap scaling efficiency)
+        marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            marks.append((label, time.time()))
+
         res = RunResult(run_id=self.ctx.run_id)
         done = self.audit.completed_constraints(self.ctx.run_id) if resume else set()
         parts_done = self.audit.part_results(self.ctx.run_id) if resume else {}
+        _mark("resume_read")
 
         def hydrate(c: Constraint) -> None:
             for name in getattr(c, "emits", [c.name]):
@@ -390,6 +399,7 @@ class ValidationRunner:
                 table_rows[c.table], universes[c.table] = self._table_stats(
                     tables, c.table
                 )
+        _mark("table_stats")
 
         # partition-grain resume (mirrors run()): partition-local constraints
         # with recorded parts recompute only the missing partitions
@@ -465,6 +475,7 @@ class ValidationRunner:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
+            _mark("fused_count")
             counts: dict[str, dict] = {
                 name: {} for c in todo for name in getattr(c, "emits", [c.name])
             }
@@ -489,6 +500,7 @@ class ValidationRunner:
                 .partitionBy("constraint")
                 .parquet(os.path.join(self.out_dir, "violations_fused"))
             )
+            _mark("capped_write")
         finally:
             fused.unpersist()
 
@@ -528,7 +540,17 @@ class ValidationRunner:
                 }
             )
         self.audit.append(audit_rows)
+        _mark("audit_append")
         res.wall_sec = time.time() - t_run
+        if os.environ.get("UNIFY_TIMING") == "1":
+            import sys
+
+            prev = t_run
+            parts = []
+            for label, ts in marks:
+                parts.append(f"{label}={ts - prev:.2f}s")
+                prev = ts
+            print(f"[timing] run_fused: {' '.join(parts)}", file=sys.stderr)
         return res
 
     def verdict_matrix(self) -> DataFrame:
