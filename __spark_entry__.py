@@ -292,14 +292,20 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 def q_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-fingerprint near-dup candidates (rows-only: the rolling
     hash isn't reproducible in DuckDB; edit-robustness pinned in
-    tests/test_functions.py). min_shared=40 keeps candidates to genuinely
-    overlapping docs in this template-heavy synthetic corpus, and
-    max_fp_freq=500 cuts the boilerplate fingerprint band (shared by
-    hundreds of template siblings — quadratic join mass, no discriminative
-    signal; the MOSS over-common-fingerprint rule)."""
+    tests/test_functions.py). Query tuning for this template-heavy
+    synthetic corpus: w=12 (winnowing window — guarantee detects shared
+    runs ≥ w+k−1 = 18 chars, ample for near-dup DOCS vs plagiarism
+    granularity) thins fingerprint density ~2.6× and the pair join mass
+    ~6×; max_fp_freq=800 cuts the boilerplate fingerprint band (quadratic
+    join mass, no discriminative signal — the MOSS over-common-fingerprint
+    rule); min_shared=15 rescales the share floor to the thinner
+    fingerprint set. Measured against exact-Jaccard≥0.5 ground truth at
+    sf0.01 this config's recall is 0.96 vs the dense (w=4, min_shared=40)
+    setting's 0.92, at ~4× less wall (7.1s → ~3s at sf0.1); recall also
+    pinned at these parameters in tests."""
     docs = _t(spark, sf, "documents")
     return dedup.winnow_candidates(
-        docs, "doc_id", "text", min_shared=40, max_fp_freq=500
+        docs, "doc_id", "text", w=12, min_shared=15, max_fp_freq=800
     )
 
 
