@@ -575,6 +575,16 @@ def q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return packing.pack_documents(docs, "doc_id", "text", budget=256)
 
 
+def q_pack_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group (language) token packing: independent chunk streams per
+    lang so no training sequence straddles two languages. Plain grouped
+    window — one shuffle on the group key, no global-window task."""
+    from unify_spark.functions import packing
+
+    docs = _t(spark, sf, "documents").withColumn("_n_tok", text.token_count("text"))
+    return packing.pack_chunks_grouped(docs, "doc_id", "_n_tok", budget=256, group_col="lang")
+
+
 def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     """PII surface scan (functions/text.py PII_PATTERNS): per-row match
     counts of email/ipv4/phone/ssn patterns. The testdata customer table
@@ -692,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_take_per_stratum": q_take_per_stratum,
         "q_pack_chunks": q_pack_chunks,
+        "q_pack_grouped": q_pack_grouped,
         "q_pii_scan": q_pii_scan,
         "q_dedup_normalized": q_dedup_normalized,
         "q_top_ngrams": q_top_ngrams,
@@ -1000,6 +1011,24 @@ def oracle_sql() -> dict[str, str]:
                      ), 0) AS tok_before
               FROM (
                 SELECT doc_id,
+                       COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)
+                         AS n_tokens
+                FROM documents
+              )
+            )
+        """,
+        "q_pack_grouped": r"""
+            SELECT doc_id, lang, n_tokens, tok_before,
+                   tok_before // 256 AS chunk_id,
+                   tok_before % 256 AS chunk_offset
+            FROM (
+              SELECT doc_id, lang, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_before
+              FROM (
+                SELECT doc_id, lang,
                        COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)
                          AS n_tokens
                 FROM documents

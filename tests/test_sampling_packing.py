@@ -280,3 +280,24 @@ def test_cli_corpus_clean(spark, tmp_path, capsys):
     assert r["n_input"] == 4 and r["removed_quality"] == 1
     kept = {x["doc_id"] for x in spark.read.parquet(out).collect()}
     assert kept == {2, 4}  # doc 2 wins its cluster (more tokens than doc 1)
+
+
+def test_pack_chunks_grouped(spark):
+    """Each group gets an independent chunk stream; within a group the
+    semantics match the global form restricted to that group."""
+    rows = [(i, 100, "a" if i % 2 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "grp"])
+    out = packing.pack_chunks_grouped(df, "doc_id", "n_tok", budget=256, group_col="grp")
+    rows_by = {(r["grp"], r["doc_id"]): r for r in out.collect()}
+    # group "b" holds even ids 0,2,4,6,8 — its stream restarts at 0
+    assert rows_by[("b", 0)]["tok_before"] == 0
+    assert rows_by[("b", 4)]["tok_before"] == 200 and rows_by[("b", 4)]["chunk_id"] == 0
+    assert rows_by[("b", 6)]["tok_before"] == 300 and rows_by[("b", 6)]["chunk_id"] == 1
+    assert rows_by[("a", 1)]["tok_before"] == 0  # "a" stream independent
+    # per-group equivalence with the global two-phase form
+    only_a = df.filter(F.col("grp") == "a")
+    glob = {r["doc_id"]: r["tok_before"]
+            for r in packing.pack_chunks(only_a, "doc_id", "n_tok", budget=256).collect()}
+    grp = {r["doc_id"]: r["tok_before"]
+           for r in out.filter(F.col("grp") == "a").collect()}
+    assert glob == grp

@@ -16,7 +16,11 @@ from unify_spark.functions.sampling import (  # noqa: F401
     stratified_sample,
     take_per_stratum,
 )
-from unify_spark.functions.packing import pack_chunks, pack_documents  # noqa: F401
+from unify_spark.functions.packing import (  # noqa: F401
+    pack_chunks,
+    pack_chunks_grouped,
+    pack_documents,
+)
 from unify_spark.functions.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_candidates,

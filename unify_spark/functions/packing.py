@@ -120,3 +120,42 @@ def pack_documents(
     """Convenience: whitespace-token counts then ``pack_chunks``."""
     with_counts = df.withColumn("_n_tok", text_fn.token_count(text_col))
     return pack_chunks(with_counts, id_col, "_n_tok", budget, num_shards)
+
+
+def pack_chunks_grouped(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    group_col: str,
+) -> DataFrame:
+    """Per-group concat-and-chunk: an independent chunk stream per
+    ``group_col`` value (domain/language/source — pretraining mixes often
+    pack within domains so a sequence never straddles two of them).
+    Output adds the group column; (chunk ids restart at 0 per group).
+
+    Scale shape: unlike the GLOBAL prefix sum (which needs the two-phase
+    scan in ``pack_chunks``), the grouped form is a plain
+    ``Window.partitionBy(group).orderBy(id)`` — one hash shuffle on the
+    group key, each group's cumsum runs inside its partition. Skew note: a
+    group's whole slim (id, n_tokens) stream lands in one task; for a
+    dominant group at 10^10 docs, fall back to ``pack_chunks`` per group
+    or sub-shard the giant group. Null token counts count as 0; ``id_col``
+    must be unique within a group (same tie contract as pack_chunks)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    before = F.coalesce(F.sum(n).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n.alias("n_tokens"),
+        before.alias("tok_before"),
+        (before / budget).cast("long").alias("chunk_id"),
+        (before % budget).alias("chunk_offset"),
+    )
