@@ -639,6 +639,24 @@ def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     return text.normalized_duplicates(both, "doc_id", "text")
 
 
+def q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B| / |A| over trigram sets): run
+    over documents plus a 20-token-prefix copy of each (ids +200000), so
+    every prefix is fully contained in its source (containment 1.0) while
+    scoring near-zero symmetric Jaccard — the subset-duplicate case this
+    operator exists for. Fully oracle-checked: plain-string trigrams."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("text").isNotNull()).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 20)).alias("text"),
+    )
+    both = docs.unionByName(trunc)
+    pairs = dedup.ngram_containment_pairs(both, "doc_id", "text", n=3, threshold=0.9)
+    return pairs.select(
+        "id_small", "id_big", F.round("containment", 4).alias("containment")
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus top-20 bigrams by document frequency (boilerplate /
     contamination signal); TakeOrdered top-k, not a full sort."""
@@ -705,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_grouped": q_pack_grouped,
         "q_pii_scan": q_pii_scan,
         "q_dedup_normalized": q_dedup_normalized,
+        "q_ngram_containment": q_ngram_containment,
         "q_top_ngrams": q_top_ngrams,
     }
 
@@ -1079,6 +1098,47 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY norm_fp) AS group_size
               FROM fp
             ) WHERE group_size > 1
+        """,
+        "q_ngram_containment": r"""
+            WITH both_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     array_to_string(
+                       (regexp_split_to_array(trim(text), '\s+'))[1:20], ' ') AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM both_docs WHERE text IS NOT NULL
+            ),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM toks
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            paired AS (
+              SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT id_small, id_big, ROUND(containment, 4) AS containment FROM (
+              SELECT CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a < id_b)
+                          THEN id_a ELSE id_b END AS id_small,
+                     CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a < id_b)
+                          THEN id_b ELSE id_a END AS id_big,
+                     common / least(sz_a, sz_b) AS containment
+              FROM paired
+            ) WHERE containment >= 0.9
         """,
         "q_top_ngrams": r"""
             WITH toks AS (

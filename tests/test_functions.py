@@ -475,3 +475,20 @@ def test_winnow_recall_sparse_window_config(spark):
               dedup.winnow_candidates(docs, "doc_id", "text", w=12, min_shared=15,
                                       max_fp_freq=800).collect()}
         assert len(t2 & g2) / len(t2) >= 0.85
+
+
+def test_ngram_containment_asymmetric(spark):
+    """Containment catches subset duplicates symmetric Jaccard misses: a
+    short quote inside a long page scores containment ~1 but Jaccard ~0."""
+    long_text = " ".join(f"w{i}" for i in range(100))
+    quote = " ".join(f"w{i}" for i in range(10, 25))  # 15-token excerpt
+    df = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, "totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_small"], r["id_big"]): r["containment"]
+           for r in dedup.ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}  # the quote is the SMALL, contained side
+    # symmetric Jaccard misses this pair entirely at any useful threshold
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []

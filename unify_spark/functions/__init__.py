@@ -24,6 +24,7 @@ from unify_spark.functions.packing import (  # noqa: F401
 from unify_spark.functions.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_candidates,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash,

@@ -304,6 +304,55 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 10000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) = |A∩B| / |A|.
+    Catches subset duplicates symmetric Jaccard misses — a paragraph quoted
+    inside a much longer page scores near-zero Jaccard but containment ≈ 1,
+    the case web-corpus dedup handles with containment, not similarity.
+
+    Output is directional: (id_small, id_big, containment) where the
+    SMALLER shingle set is the contained side (ties by id). Same plan
+    skeleton as ngram_jaccard_pairs — one shingle self-join with the
+    hot-shingle cap, sizes counted over the same filtered universe — so it
+    inherits the capped-join scale shape."""
+    src = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    paired = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+    )
+    small_is_a = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        paired.select(
+            F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+            (
+                F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def winnow_candidates(
     df: DataFrame,
     id_col: str,
