@@ -131,3 +131,42 @@ def test_audio_features_silence_and_dc(spark):
     assert abs(got["half"]["silence_ratio"] - 0.5) <= 0.06  # boundary frame slack
     assert abs(got["loud"]["dc_offset"]) < 0.01
     assert got["biased"]["dc_offset"] > 0.1
+
+
+def test_audio_segments_vad(spark):
+    """Energy segmentation finds the speech spans, bridges short gaps,
+    and drops sub-min-duration blips."""
+    import numpy as np
+
+    from unify_spark.functions.multimodal import audio_segments
+
+    sr = 16000
+    t = lambda ms: int(sr * ms / 1000)
+    tone = lambda ms: (12000 * np.sin(2 * np.pi * 440 * np.arange(t(ms)) / sr))
+    quiet = lambda ms: np.zeros(t(ms))
+    # 200ms speech | 300ms silence | 200ms speech  → two segments
+    two = np.concatenate([tone(200), quiet(300), tone(200)]).astype("<i2")
+    # 200ms | 60ms gap | 200ms → bridged into ONE segment (gap <= 100ms)
+    bridged = np.concatenate([tone(200), quiet(60), tone(200)]).astype("<i2")
+    # a lone 30ms blip → dropped (< min_dur 60ms)
+    blip = np.concatenate([quiet(200), tone(30), quiet(200)]).astype("<i2")
+    silent = quiet(400).astype("<i2")
+    rows = [
+        ("two", two.tobytes(), "pcm_s16le", sr),
+        ("bridged", bridged.tobytes(), "pcm_s16le", sr),
+        ("blip", blip.tobytes(), "pcm_s16le", sr),
+        ("silent", silent.tobytes(), "pcm_s16le", sr),
+        ("bad", None, "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r["clip_id"]: r for r in audio_segments(df).collect()}
+
+    segs = [(s["start_ms"], s["end_ms"]) for s in got["two"]["segments"]]
+    assert segs == [(0, 200), (500, 700)]
+    assert got["two"]["speech_ms"] == 400
+    assert got["bridged"]["n_segments"] == 1
+    b = got["bridged"]["segments"][0]
+    assert b["start_ms"] == 0 and b["end_ms"] == 460
+    assert got["blip"]["n_segments"] == 0
+    assert got["silent"]["segments"] == [] and got["silent"]["speech_ms"] == 0
+    assert got["bad"]["reason"].startswith("null bytes")

@@ -43,4 +43,7 @@ from unify_spark.functions.graph import (  # noqa: F401
     duplicate_clusters,
 )
 from unify_spark.functions.pipeline import clean_corpus  # noqa: F401
-from unify_spark.functions.multimodal import audio_features  # noqa: F401
+from unify_spark.functions.multimodal import (  # noqa: F401
+    audio_features,
+    audio_segments,
+)

@@ -179,6 +179,111 @@ def resize_stub(*_args, **_kwargs):
     )
 
 
+def audio_segments(
+    df: "DataFrame",
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    threshold_dbfs: float = -40.0,
+    max_gap_ms: int = 100,
+    min_dur_ms: int = 60,
+) -> "DataFrame":
+    """Energy-based speech/activity segmentation (the VAD-shaped step that
+    turns raw clips into trainable speech spans): 10 ms frame RMS against
+    ``threshold_dbfs``, consecutive active frames merged across silences up
+    to ``max_gap_ms``, segments shorter than ``min_dur_ms`` dropped.
+
+    Emits (id, segments array<struct<start_ms,end_ms>>, n_segments,
+    speech_ms, reason). Same Arrow/decode grouping as ``audio_features``
+    ((codec, byte-length, sr) groups, 2-D vectorized decode + frame RMS);
+    the per-row run extraction is numpy diff/flatnonzero over the boolean
+    frame matrix — a few short arrays per row, no sample-level Python. A
+    production VAD model slots into the same column contract."""
+    from unify_spark.audio import pcm
+
+    schema = (
+        f"{id_col} string, segments array<struct<start_ms: int, end_ms: int>>, "
+        "n_segments int, speech_ms long, reason string"
+    )
+    thr = 10.0 ** (threshold_dbfs / 20.0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            segs: list = [[] for _ in range(n)]
+            nseg = np.zeros(n, dtype=np.int32)
+            speech = np.zeros(n, dtype=np.int64)
+            reason = np.full(n, "", dtype=object)
+            ok = (
+                pdf[bytes_col].notna() & pdf[codec_col].isin(pcm.CODEC_DOMAIN)
+            ).to_numpy()
+            reason[~ok] = "null bytes or unknown codec"
+            blobs = pdf[bytes_col].to_numpy()
+            codecs = pdf[codec_col].to_numpy()
+            srs = pdf[sr_col].to_numpy()
+            groups: dict[tuple, list[int]] = {}
+            for i in np.flatnonzero(ok):
+                sr = int(srs[i]) if srs[i] and not pd.isna(srs[i]) else 16000
+                groups.setdefault((codecs[i], len(blobs[i]), sr), []).append(i)
+            for (codec, _bl, sr), idxs in groups.items():
+                try:
+                    dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
+                except ValueError as e:
+                    for i in idxs:
+                        reason[i] = f"decode error: {e}"
+                    continue
+                x = dec.astype(np.float64) / 32768.0
+                frame = max(sr // 100, 1)
+                frame_ms = 1000.0 * frame / sr
+                nf = x.shape[1] // frame
+                if nf < 1:
+                    # clip shorter than one frame: whole clip is one frame
+                    fr_active = (
+                        np.sqrt((x * x).mean(axis=1, keepdims=True)) >= thr
+                    )
+                    frame_ms = 1000.0 * x.shape[1] / sr
+                else:
+                    fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
+                    fr_active = np.sqrt((fr * fr).mean(axis=2)) >= thr
+                gap = max(int(round(max_gap_ms / frame_ms)), 0)
+                for row, i in enumerate(idxs):
+                    a = fr_active[row].astype(np.int8)
+                    edges = np.flatnonzero(np.diff(np.concatenate(([0], a, [0]))))
+                    runs = list(zip(edges[::2], edges[1::2]))  # [start, end) frames
+                    merged: list[tuple[int, int]] = []
+                    for s, e in runs:
+                        if merged and s - merged[-1][1] <= gap:
+                            merged[-1] = (merged[-1][0], e)
+                        else:
+                            merged.append((s, e))
+                    out_rows = [
+                        {
+                            "start_ms": int(round(s * frame_ms)),
+                            "end_ms": int(round(e * frame_ms)),
+                        }
+                        for s, e in merged
+                        if (e - s) * frame_ms >= min_dur_ms
+                    ]
+                    segs[i] = out_rows
+                    nseg[i] = len(out_rows)
+                    speech[i] = sum(r["end_ms"] - r["start_ms"] for r in out_rows)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str).to_numpy(),
+                    "segments": segs,
+                    "n_segments": nseg,
+                    "speech_ms": speech,
+                    "reason": reason,
+                }
+            )
+
+    slim = df.select(id_col, bytes_col, codec_col, sr_col)
+    return slim.mapInPandas(run, schema=schema)
+
+
 def audio_features(
     df: "DataFrame",
     id_col: str = "clip_id",
