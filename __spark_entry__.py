@@ -515,6 +515,34 @@ def q_conditional_required(spark: SparkSession, sf: str) -> DataFrame:
     return c.violations({"events": ev}, ValidationContext()).select("key", "column")
 
 
+def q_vector_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """VectorConstraint (embedding contract: non-null, dim=64, finite,
+    nonzero norm — the screen every ANN/similarity stage assumes): run
+    over embeddings plus deterministically corrupted copies (ids +100000;
+    vec_id%3 picks truncation / null / NaN-injection) so every mutated
+    row violates with a distinct reason. Pure higher-order Column
+    expressions; oracle mirrors the corruption and the reason CASE."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import VectorConstraint
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    nan_first = F.concat(
+        F.array(F.lit(float("nan")).cast("float")), F.slice("embedding", 2, 63)
+    )
+    mutated = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.when(F.col("vec_id") % 3 == 0, F.slice("embedding", 1, 10))
+        .when(F.col("vec_id") % 3 == 1, F.lit(None).cast("array<float>"))
+        .otherwise(nan_first)
+        .alias("embedding"),
+    )
+    both = emb.unionByName(mutated)
+    c = VectorConstraint("embeddings", "embedding", dim=64)
+    return c.violations({"embeddings": both}, ValidationContext()).select(
+        "key", F.col("observed").alias("reason")
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash sampling (functions/sampling.py): keep ~25% of
     documents by md5(doc_id) prefix — reproducible across runs, engines,
@@ -715,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_violations": q_length_violations,
         "q_any_present": q_any_present,
         "q_conditional_required": q_conditional_required,
+        "q_vector_violations": q_vector_violations,
         "q_sample_hash": q_sample_hash,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
@@ -981,6 +1010,32 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
             FROM v, q WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id LIMIT 10
+        """,
+        "q_vector_violations": """
+            WITH mutated AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     CASE
+                       WHEN vec_id % 3 = 0 THEN embedding[1:10]
+                       WHEN vec_id % 3 = 1 THEN NULL
+                       ELSE list_concat(['NaN'::FLOAT], embedding[2:64])
+                     END AS embedding
+              FROM embeddings
+            ),
+            both_v AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM mutated
+            )
+            SELECT CAST(vec_id AS VARCHAR) AS key, reason FROM (
+              SELECT vec_id,
+                     CASE
+                       WHEN embedding IS NULL THEN 'null'
+                       WHEN len(embedding) <> 64 THEN 'wrong_dim'
+                       WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 'nan'
+                       WHEN list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * x)) = 0 THEN 'zero_norm'
+                     END AS reason
+              FROM both_v
+            ) WHERE reason IS NOT NULL
         """,
         # deterministic hash sampling: the 8-hex md5-prefix comparison is the
         # engine-portable contract — thresholds come from the SAME

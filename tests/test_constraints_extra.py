@@ -232,3 +232,48 @@ def test_equality_hash_is_type_insensitive(spark):
     )
     vio2 = c.violations({"l": left, "r": right_dbl}, ValidationContext()).collect()
     assert [v["key"] for v in vio2] == ["t2"]  # 7.0==7 passes (numeric→double)
+
+
+def test_vector_constraint_reasons(spark):
+    """Embedding contract: each failure mode gets its own reason; clean
+    vectors pass; required=False tolerates nulls; row_predicates fuses."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import VectorConstraint
+
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0]),          # wrong_dim
+        (3, None),                # null
+        (4, [1.0, nan, 3.0]),     # nan
+        (5, [0.0, 0.0, 0.0]),     # zero_norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = VectorConstraint("embeddings", "embedding", dim=3)
+    got = {r["key"]: r["observed"]
+           for r in c.violations({"embeddings": df}, ValidationContext()).collect()}
+    assert got == {"2": "wrong_dim", "3": "null", "4": "nan", "5": "zero_norm"}
+
+    relaxed = VectorConstraint("embeddings", "embedding", dim=3, required=False)
+    got2 = {r["key"] for r in relaxed.violations({"embeddings": df}, ValidationContext()).collect()}
+    assert got2 == {"2", "4", "5"}
+
+    no_norm = VectorConstraint("embeddings", "embedding", dim=3, check_norm=False)
+    got3 = {r["key"] for r in no_norm.violations({"embeddings": df}, ValidationContext()).collect()}
+    assert got3 == {"2", "3", "4"}
+
+    # fuses into the row-local bundle like domain/range
+    preds = c.row_predicates(ValidationContext())
+    assert len(preds) == 1 and preds[0][1] == "embedding"
+
+
+def test_vector_constraint_from_config(spark):
+    from unify_spark.plans.config import parse_suite_config
+
+    cfg = parse_suite_config(
+        {"tables": {"embeddings": "/x"},
+         "constraints": [{"type": "vector", "table": "embeddings",
+                          "column": "embedding", "dim": 64}]}
+    )
+    assert cfg.constraints[0].name == "vector:embeddings.embedding"
+    assert cfg.constraints[0].dim == 64

@@ -17,6 +17,7 @@ from unify_spark.operators.constraints import (  # noqa: F401
     RegexConstraint,
     RequiredConstraint,
     UniquenessConstraint,
+    VectorConstraint,
     UpsertConflictConstraint,
 )
 from unify_spark.operators.drift import DriftConstraint  # noqa: F401

@@ -712,3 +712,74 @@ class EqualityAcrossTablesConstraint(Constraint):
             source_file="source_file" if "source_file" in right.columns else None,
             row_index="row_index" if "row_index" in right.columns else None,
         )
+
+
+class VectorConstraint(Constraint):
+    """Embedding/vector column contract: non-null, exactly ``dim``
+    elements, all finite, non-zero norm. The shape gate every
+    similarity/ANN stage assumes — a single ragged or NaN vector poisons a
+    cosine matmul batch, so this runs as a first-class constraint with
+    violation rows instead of failing inside the UDF (the same
+    fail-at-end split as the audio payload check: cheap Column-expression
+    screen here, the heavy compute stages can then assume clean input).
+
+    Pure Column expressions (size / exists / aggregate higher-order
+    functions — JVM-side, no UDF), so it fuses into the row-local bundle
+    scan like domain/range/required.
+    """
+
+    partition_local = True
+
+    def __init__(
+        self,
+        table: str,
+        column: str,
+        dim: int,
+        required: bool = True,
+        check_norm: bool = True,
+    ):
+        self.table = table
+        self.column = column
+        self.dim = dim
+        self.required = required
+        self.check_norm = check_norm
+        self.name = f"vector:{table}.{column}"
+
+    def _reason(self):
+        c = F.col(self.column)
+        nan = F.exists(c, lambda x: F.isnan(x.cast("double")))
+        sq = F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+        r = F.when(c.isNull(), F.lit("null") if self.required else F.lit(None))
+        r = r.when(F.size(c) != self.dim, F.lit("wrong_dim")).when(nan, F.lit("nan"))
+        if self.check_norm:
+            r = r.when(sq == 0.0, F.lit("zero_norm"))
+        return r.otherwise(F.lit(None))
+
+    def _expected(self) -> str:
+        parts = [f"dim={self.dim}", "finite"]
+        if self.required:
+            parts.insert(0, "non-null")
+        if self.check_norm:
+            parts.append("nonzero norm")
+        return ", ".join(parts)
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        reason = self._reason()
+        return make_violations(
+            df.withColumn("_vr", reason).filter(F.col("_vr").isNotNull()),
+            constraint=self.name,
+            table=self.table,
+            key=key,
+            column=self.column,
+            observed=F.col("_vr"),
+            expected=self._expected(),
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
+
+    def row_predicates(self, ctx):
+        reason = self._reason()
+        return [(reason.isNotNull(), self.column, reason, self._expected())]

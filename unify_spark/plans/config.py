@@ -67,7 +67,7 @@ from unify_spark.operators import (
     UniquenessConstraint,
     ValidationContext,
 )
-from unify_spark.operators.constraints import UpsertConflictConstraint
+from unify_spark.operators.constraints import UpsertConflictConstraint, VectorConstraint
 
 
 @dataclass
@@ -165,6 +165,14 @@ def _build_constraint(spec: dict) -> Constraint:
             spec.get("reference_table", "reference_decode"),
             snr_threshold_db=float(spec.get("snr_threshold_db", 30.0)),
             null_bytes_constraint=spec.get("null_bytes_constraint"),
+        )
+    if t == "vector":
+        return VectorConstraint(
+            spec["table"],
+            spec["column"],
+            dim=int(spec["dim"]),
+            required=bool(spec.get("required", True)),
+            check_norm=bool(spec.get("check_norm", True)),
         )
     if t == "drift":
         bounds = spec.get("bounds")
