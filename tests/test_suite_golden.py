@@ -131,3 +131,26 @@ def test_clean_fixture_all_pass(spark, tmp_path_factory):
     )
     result = runner.run(tables, audio_suite(), resume=False)
     assert result.passed, result.violation_counts
+
+
+def test_generate_fixture_parallel_byte_identical(tmp_path):
+    """Sharded payload synthesis must reproduce the serial fixture byte for
+    byte — every golden count in this file depends on it."""
+    import hashlib
+    import os
+
+    from unify_spark.fixtures import generate_fixture
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                h.update(os.path.relpath(p, d).encode())
+                h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_fixture(a, n_rows=5000, n_parts=4, workers=1)
+    generate_fixture(b, n_rows=5000, n_parts=4, workers=3)
+    assert tree_hash(a) == tree_hash(b)

@@ -92,6 +92,51 @@ def _part_date(i: int, n_parts: int) -> str:
     return f"2025-01-{1 + _h(i, 9) % n_parts:02d}"
 
 
+def _payload_shard(args):
+    """Worker: transcripts + payload bytes + reference sha/rms for a
+    contiguous row range. Everything derives from (idx, dur, sr, codec) —
+    no RNG — so sharding cannot change a single byte of output. Groups are
+    chunked to ≤ 64k rows per synth/encode call to bound the (rows ×
+    samples) intermediate matrices (an unchunked 2M-row group materializes
+    multi-GB float64 temporaries — the measured superlinear wall at ≥ 2M
+    rows)."""
+    idx, dur, sr, codec, payload_cap_ms = args
+    import pandas as _pd
+
+    transcripts = _transcripts_vec(idx, dur)
+    n = len(idx)
+    n_samples_arr = np.minimum(dur, payload_cap_ms) * sr // 1000
+    blobs: list[bytes | None] = [None] * n
+    ref_sha: list[str] = [""] * n
+    ref_rms: list[float] = [0.0] * n
+    groups = _pd.DataFrame(
+        {"sr": sr, "ns": n_samples_arr, "codec": [str(c) for c in codec]}
+    ).groupby(["sr", "ns", "codec"], sort=False).indices
+    CHUNK = 65536
+    for (sr_v, ns_v, codec_v), g_all in groups.items():
+        for off in range(0, len(g_all), CHUNK):
+            g = g_all[off : off + CHUNK]
+            raw = pcm.synth_pcm16_batch(idx[g], int(sr_v), int(ns_v))
+            enc = pcm.encode_batch(raw, codec_v)
+            if codec_v in pcm.CODEC_DOMAIN:
+                dec = pcm.decode_batch(enc, codec_v) if ns_v > 0 else raw
+            else:
+                dec = raw  # out-of-domain codecs carry raw pcm
+            rms = (
+                np.sqrt(np.mean(dec.astype(np.float64) ** 2, axis=1))
+                if dec.shape[1]
+                else np.zeros(len(g))
+            )
+            for k, i in enumerate(g):
+                blobs[i] = enc[k]
+                ref_sha[i] = hashlib.sha256(dec[k].tobytes()).hexdigest()
+                ref_rms[i] = float(rms[k])
+    return transcripts, blobs, ref_sha, ref_rms
+
+
+_PARALLEL_THRESHOLD = 400_000
+
+
 def generate_fixture(
     out_dir: str,
     n_rows: int = 10_000,
@@ -100,13 +145,17 @@ def generate_fixture(
     payload_cap_ms: int = 50,
     inject: bool = True,
     files_per_part: int = 1,
+    workers: int | None = None,
 ) -> FixtureManifest:
     """Write clips/, transcript_map/, codec_domain/, reference_decode/
     parquet datasets under ``out_dir`` and return the violation manifest.
 
     All randomness is PCG64(seed) vectorized draws + integer hash mixes —
-    byte-stable across runs and platforms.
-    """
+    byte-stable across runs and platforms. Payload synthesis (the wall-time
+    bulk) is sharded over ``workers`` spawn processes for n_rows ≥ 400k —
+    contiguous index ranges, so output is byte-identical to the serial
+    path (pinned by test); spawn (not fork) because callers may hold a
+    JVM-threaded SparkSession."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.Generator(np.random.PCG64(seed))
     idx = np.arange(n_rows)
@@ -153,37 +202,44 @@ def generate_fixture(
         dur = np.where(drift_mask & keep, np.minimum(dur * 2, DUR_MAX_MS), dur)
         manifest.drift_part = drift_part
 
-    # -- transcripts (after duration edits so word counts track dur) --------
-    transcripts: list[str | None] = _transcripts_vec(idx, dur)
+    # -- transcripts + payload bytes + reference decode, sharded -------------
+    # contiguous row ranges → worker processes; reassembled in order
+    n_workers = workers
+    if n_workers is None:
+        n_workers = min(os.cpu_count() or 1, 16) if n_rows >= _PARALLEL_THRESHOLD else 1
+    if n_workers > 1:
+        # spawn re-imports __main__; a file-less main (REPL, `python -`
+        # heredoc) deadlocks the children — fall back to serial there
+        import sys as _sys
 
-    # -- payload bytes (vectorized: grouped by (sr, n_samples, codec)) -------
-    import pandas as _pd
+        _main = _sys.modules.get("__main__")
+        if getattr(_main, "__file__", None) is None:
+            n_workers = 1
+    shard_bounds = [
+        (n_rows * w // n_workers, n_rows * (w + 1) // n_workers)
+        for w in range(n_workers)
+    ]
+    shard_args = [
+        (idx[a:b], dur[a:b], sr[a:b], codec[a:b], payload_cap_ms)
+        for a, b in shard_bounds
+        if b > a
+    ]
+    if len(shard_args) <= 1:
+        shard_results = [_payload_shard(shard_args[0])] if shard_args else []
+    else:
+        import multiprocessing as _mp
 
-    n_samples_arr = np.minimum(dur, payload_cap_ms) * sr // 1000
-    blobs: list[bytes | None] = [None] * n_rows
-    ref_sha: list[str] = [""] * n_rows
-    ref_rms: list[float] = [0.0] * n_rows
-    groups = _pd.DataFrame(
-        {"sr": sr, "ns": n_samples_arr, "codec": [str(c) for c in codec]}
-    ).groupby(["sr", "ns", "codec"], sort=False).indices
-    for (sr_v, ns_v, codec_v), g in groups.items():
-        raw = pcm.synth_pcm16_batch(idx[g], int(sr_v), int(ns_v))
-        enc = pcm.encode_batch(raw, codec_v)
-        # reference decode of the CLEAN payloads (pre V6/V7 edits) — analogue
-        # of the reference's pre-import golden fixtures
-        if codec_v in pcm.CODEC_DOMAIN:
-            dec = pcm.decode_batch(enc, codec_v) if ns_v > 0 else raw
-        else:
-            dec = raw  # out-of-domain codecs carry raw pcm
-        rms = (
-            np.sqrt(np.mean(dec.astype(np.float64) ** 2, axis=1))
-            if dec.shape[1]
-            else np.zeros(len(g))
-        )
-        for k, i in enumerate(g):
-            blobs[i] = enc[k]
-            ref_sha[i] = hashlib.sha256(dec[k].tobytes()).hexdigest()
-            ref_rms[i] = float(rms[k])
+        with _mp.get_context("spawn").Pool(len(shard_args)) as pool:
+            shard_results = pool.map(_payload_shard, shard_args)
+    transcripts: list[str | None] = []
+    blobs: list[bytes | None] = []
+    ref_sha: list[str] = []
+    ref_rms: list[float] = []
+    for t_s, b_s, sha_s, rms_s in shard_results:
+        transcripts.extend(t_s)
+        blobs.extend(b_s)
+        ref_sha.extend(sha_s)
+        ref_rms.extend(rms_s)
     ref_rows = [
         (f"clip-{int(i):010d}", ref_sha[i], ref_rms[i], transcripts[i]) for i in idx
     ]
