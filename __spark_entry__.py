@@ -515,6 +515,21 @@ def q_conditional_required(spark: SparkSession, sf: str) -> DataFrame:
     return c.violations({"events": ev}, ValidationContext()).select("key", "column")
 
 
+def q_embed_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-space) duplicate clustering: banded hyperplane
+    LSH candidates → exact-cosine filter → pointer-doubling connected
+    components. Run over embeddings plus exact copies (ids +100000): the
+    organic max pairwise cosine in this table is ~0.51, so at
+    threshold=0.95 the injected copies are the ONLY duplicates, identical
+    vectors share every LSH band deterministically, and the oracle reduces
+    to min-id-per-identical-vector — a hard rows+hash check of the whole
+    candidate→verify→cluster pipeline."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.unionByName(copies)
+    return similarity.embedding_dup_clusters(both, dim=64, threshold=0.95)
+
+
 def q_vector_violations(spark: SparkSession, sf: str) -> DataFrame:
     """VectorConstraint (embedding contract: non-null, dim=64, finite,
     nonzero norm — the screen every ANN/similarity stage assumes): run
@@ -743,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_violations": q_length_violations,
         "q_any_present": q_any_present,
         "q_conditional_required": q_conditional_required,
+        "q_embed_dup_clusters": q_embed_dup_clusters,
         "q_vector_violations": q_vector_violations,
         "q_sample_hash": q_sample_hash,
         "q_stratified_sample": q_stratified_sample,
@@ -1010,6 +1026,18 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
             FROM v, q WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id LIMIT 10
+        """,
+        "q_embed_dup_clusters": """
+            WITH both_v AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            )
+            SELECT vec_id,
+                   MIN(vec_id) OVER (
+                     PARTITION BY CAST(embedding AS VARCHAR)
+                   ) AS cluster
+            FROM both_v
         """,
         "q_vector_violations": """
             WITH mutated AS (

@@ -492,3 +492,29 @@ def test_ngram_containment_asymmetric(spark):
     # symmetric Jaccard misses this pair entirely at any useful threshold
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     assert jac == []
+
+
+def test_embedding_near_dup_pairs_and_clusters(spark):
+    """Semantic dedup: planted near-identical vectors are found (LSH
+    candidates + exact re-check), orthogonal ones are not, and clusters
+    group transitive near-dups under the min id."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    base = rng.normal(size=(40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100/101 near-dup of 0 (tiny noise); 102 exact copy of 5
+    rows.append((100, (base[0] + rng.normal(scale=0.002, size=16)).tolist()))
+    rows.append((101, (base[0] + rng.normal(scale=0.002, size=16)).tolist()))
+    rows.append((102, base[5].tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_dup_pairs(df, dim=16, threshold=0.99).collect()}
+    assert pairs == {(0, 100), (0, 101), (100, 101), (5, 102)}
+
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                similarity.embedding_dup_clusters(df, dim=16, threshold=0.99).collect()}
+    assert clusters[0] == clusters[100] == clusters[101] == 0
+    assert clusters[5] == clusters[102] == 5
+    assert clusters[7] == 7  # singleton keeps its own id

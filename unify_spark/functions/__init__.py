@@ -34,6 +34,8 @@ from unify_spark.functions.dedup import (  # noqa: F401
 from unify_spark.functions.similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
+    embedding_dup_clusters,
+    embedding_near_dup_pairs,
     ivf_ann_topk,
     lsh_ann_topk,
 )

@@ -399,3 +399,77 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """All-pairs embedding near-duplicates: (id_a, id_b, cos_sim ≥
+    threshold). The semantic-dedup primitive — exact-text and n-gram dedup
+    miss paraphrases that embed nearly identically.
+
+    Scale shape mirrors minhash_candidates, not the O(N²) cosine_pairs
+    baseline: banded hyperplane signatures (one Arrow matmul pass), a
+    capped SELF-join on (band, sig) — uniform 64-bit buckets, hot buckets
+    cut by ``max_bucket_size`` via the AQE-proof explicit-width window —
+    then the exact cosine computed ONLY on candidates and filtered by
+    ``threshold``. Recall comes from multi-band OR matching, precision
+    from the exact re-check; near-identical vectors agree on every
+    hyperplane bit, so recall at dedup-grade thresholds (≥ 0.9) is high."""
+    from unify_spark.functions.dedup import _drop_hot_buckets
+
+    banded = lsh_band_signatures(
+        df, dim, n_planes, n_bands, id_col, vec_col, out_id="id", out_vec="v"
+    )
+    banded = _drop_hot_buckets(banded, ["band", "sig"], max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # multi-band OR: each pair once
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 50,
+    **kwargs,
+) -> DataFrame:
+    """(id, cluster) from embedding near-dup pairs via the same
+    pointer-doubling connected components the text pipeline uses —
+    semantic duplicate groups ready for canonical selection. Vectors with
+    no near-dup edge keep their own id as cluster (singletons)."""
+    from unify_spark.functions.graph import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, dim, threshold, id_col=id_col, vec_col=vec_col, **kwargs
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(cc, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster"),
+        )
+    )
