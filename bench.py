@@ -52,10 +52,15 @@ HEADLINE_QUERIES = [
     "q_minhash_candidates",
     "q_simhash_candidates",
     "q_ngram_jaccard",
+    "q_ngram_containment",
     "q_lsh_ann",
     "q_ivf_ann",
     "q_winnow_candidates",
     "q_drift_histogram",
+    "q_pack_chunks",
+    "q_top_ngrams",
+    "q_dedup_normalized",
+    "q_embed_dup_clusters",
 ]
 
 

@@ -405,8 +405,8 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 100,
+    n_bands: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 100_000,
@@ -417,31 +417,38 @@ def embedding_near_dup_pairs(
 
     Scale shape mirrors minhash_candidates, not the O(N²) cosine_pairs
     baseline: banded hyperplane signatures (one Arrow matmul pass), a
-    capped SELF-join on (band, sig) — uniform 64-bit buckets, hot buckets
-    cut by ``max_bucket_size`` via the AQE-proof explicit-width window —
-    then the exact cosine computed ONLY on candidates and filtered by
-    ``threshold``. Recall comes from multi-band OR matching, precision
-    from the exact re-check; near-identical vectors agree on every
-    hyperplane bit, so recall at dedup-grade thresholds (≥ 0.9) is high."""
+    capped SELF-join on (band, sig), the exact cosine computed ONLY on
+    deduplicated candidates. Two all-pairs-specific choices (vs
+    lsh_ann_topk's query defaults):
+
+    - **Fine bands.** 10 bits × 10 bands: a cos≥0.95 pair shares a band
+      with p ≈ 0.9^10 = 0.35, so multi-band OR recall ≈ 1−0.65^10 ≈ 0.99,
+      while a random pair collides at 0.5^10 ≈ 1e-3 per band — the
+      4-bit query-mode bands would bucket N vectors into 16 groups and
+      regenerate ~N²/32 candidates (measured 1.85M pairs from 4k vectors).
+    - **Slim join.** The band self-join carries ONLY (band, sig, id);
+      duplicate (multi-band) candidates collapse BEFORE the vectors are
+      re-attached by id, so the wide rows never pass through the
+      dropDuplicates exchange — the same hash-not-payload rule as the
+      equality constraint."""
     from unify_spark.functions.dedup import _drop_hot_buckets
 
     banded = lsh_band_signatures(
         df, dim, n_planes, n_bands, id_col, vec_col, out_id="id", out_vec="v"
     )
-    banded = _drop_hot_buckets(banded, ["band", "sig"], max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
+    vecs = banded.select("id", "v").dropDuplicates(["id"])
+    slim = _drop_hot_buckets(banded.select("band", "sig", "id"), ["band", "sig"], max_bucket_size)
+    a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(b, on=["band", "sig"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # multi-band OR: each pair once
     )
-    return cand.select(
+    withv = cand.join(
+        vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), on="id_a"
+    ).join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), on="id_b")
+    return withv.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
 
