@@ -531,24 +531,30 @@ def q_embed_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_vector_violations(spark: SparkSession, sf: str) -> DataFrame:
-    """VectorConstraint (embedding contract: non-null, dim=64, finite,
-    nonzero norm — the screen every ANN/similarity stage assumes): run
-    over embeddings plus deterministically corrupted copies (ids +100000;
-    vec_id%3 picks truncation / null / NaN-injection) so every mutated
-    row violates with a distinct reason. Pure higher-order Column
-    expressions; oracle mirrors the corruption and the reason CASE."""
+    """VectorConstraint (embedding contract: non-null, dim=64, elements
+    non-null and finite, nonzero norm — the screen every ANN/similarity
+    stage assumes): run over embeddings plus deterministically corrupted
+    copies (ids +100000; vec_id%5 picks truncation / null / NaN / null
+    element / Infinity injection) so every mutated row violates with a
+    distinct reason. Pure higher-order Column expressions; oracle mirrors
+    the corruption and the reason CASE. The null-element and Infinity arms
+    pin the advisor-flagged gap: a NULL element used to null out every
+    predicate and pass the gate entirely."""
     from unify_spark.operators.base import ValidationContext
     from unify_spark.operators.constraints import VectorConstraint
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    nan_first = F.concat(
-        F.array(F.lit(float("nan")).cast("float")), F.slice("embedding", 2, 63)
-    )
+
+    def _first(v):
+        return F.concat(F.array(F.lit(v).cast("float")), F.slice("embedding", 2, 63))
+
     mutated = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.when(F.col("vec_id") % 3 == 0, F.slice("embedding", 1, 10))
-        .when(F.col("vec_id") % 3 == 1, F.lit(None).cast("array<float>"))
-        .otherwise(nan_first)
+        F.when(F.col("vec_id") % 5 == 0, F.slice("embedding", 1, 10))
+        .when(F.col("vec_id") % 5 == 1, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 5 == 2, _first(float("nan")))
+        .when(F.col("vec_id") % 5 == 3, _first(None))
+        .otherwise(_first(float("inf")))
         .alias("embedding"),
     )
     both = emb.unionByName(mutated)
@@ -1043,9 +1049,13 @@ def oracle_sql() -> dict[str, str]:
             WITH mutated AS (
               SELECT vec_id + 100000 AS vec_id,
                      CASE
-                       WHEN vec_id % 3 = 0 THEN embedding[1:10]
-                       WHEN vec_id % 3 = 1 THEN NULL
-                       ELSE list_concat(['NaN'::FLOAT], embedding[2:64])
+                       WHEN vec_id % 5 = 0 THEN embedding[1:10]
+                       WHEN vec_id % 5 = 1 THEN NULL
+                       WHEN vec_id % 5 = 2
+                         THEN list_concat(['NaN'::FLOAT], embedding[2:64])
+                       WHEN vec_id % 5 = 3
+                         THEN list_concat([NULL::FLOAT], embedding[2:64])
+                       ELSE list_concat(['Infinity'::FLOAT], embedding[2:64])
                      END AS embedding
               FROM embeddings
             ),
@@ -1058,7 +1068,12 @@ def oracle_sql() -> dict[str, str]:
                      CASE
                        WHEN embedding IS NULL THEN 'null'
                        WHEN len(embedding) <> 64 THEN 'wrong_dim'
+                       WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                         THEN 'null_element'
                        WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 'nan'
+                       WHEN len(list_filter(embedding,
+                                x -> abs(CAST(x AS DOUBLE)) = 'Infinity'::DOUBLE)) > 0
+                         THEN 'inf'
                        WHEN list_sum(list_transform(embedding,
                                      x -> CAST(x AS DOUBLE) * x)) = 0 THEN 'zero_norm'
                      END AS reason
@@ -1086,7 +1101,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE
                      WHEN h < '{_thr(0.8)}' THEN 'train'
                      WHEN h < '{_thr(0.9)}' THEN 'val'
-                     WHEN h < '{_thr(1.0)}' THEN 'test'
+                     ELSE 'test'
                    END AS split
             FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
                   FROM documents)
@@ -1107,10 +1122,10 @@ def oracle_sql() -> dict[str, str]:
                    tok_before % 256 AS chunk_offset
             FROM (
               SELECT doc_id, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (
+                     CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS tok_before
+                     ), 0) AS BIGINT) AS tok_before
               FROM (
                 SELECT doc_id,
                        COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)
@@ -1125,10 +1140,10 @@ def oracle_sql() -> dict[str, str]:
                    tok_before % 256 AS chunk_offset
             FROM (
               SELECT doc_id, lang, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (
+                     CAST(COALESCE(SUM(n_tokens) OVER (
                        PARTITION BY lang ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS tok_before
+                     ), 0) AS BIGINT) AS tok_before
               FROM (
                 SELECT doc_id, lang,
                        COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)

@@ -233,6 +233,17 @@ def test_equality_hash_is_type_insensitive(spark):
     vio2 = c.violations({"l": left, "r": right_dbl}, ValidationContext()).collect()
     assert [v["key"] for v in vio2] == ["t2"]  # 7.0==7 passes (numeric→double)
 
+    # string-vs-numeric follows Spark's PromoteStrings coercion to DOUBLE:
+    # '7.0', '07', ' 7' all compare equal to long 7 and must NOT fire; a
+    # non-numeric string is not provably equal and must fire
+    right_fmt = spark.createDataFrame(
+        [(1, "7.0", "t1"), (2, "08", "t2"), (1, " 7", "t3"), (2, "9", "t4"),
+         (1, "abc", "t5")],
+        "k int, val string, tid string",
+    )
+    vio3 = c.violations({"l": left, "r": right_fmt}, ValidationContext()).collect()
+    assert sorted(v["key"] for v in vio3) == ["t4", "t5"]
+
 
 def test_vector_constraint_reasons(spark):
     """Embedding contract: each failure mode gets its own reason; clean
@@ -240,27 +251,31 @@ def test_vector_constraint_reasons(spark):
     from unify_spark.operators.base import ValidationContext
     from unify_spark.operators.constraints import VectorConstraint
 
-    nan = float("nan")
+    nan, inf = float("nan"), float("inf")
     rows = [
         (1, [1.0, 2.0, 3.0]),
         (2, [1.0, 2.0]),          # wrong_dim
         (3, None),                # null
         (4, [1.0, nan, 3.0]),     # nan
         (5, [0.0, 0.0, 0.0]),     # zero_norm
+        (6, [1.0, None, 3.0]),    # null_element — used to null out every branch
+        (7, [inf, 2.0, 3.0]),     # inf
+        (8, [1.0, -inf, 3.0]),    # inf (negative)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     c = VectorConstraint("embeddings", "embedding", dim=3)
     got = {r["key"]: r["observed"]
            for r in c.violations({"embeddings": df}, ValidationContext()).collect()}
-    assert got == {"2": "wrong_dim", "3": "null", "4": "nan", "5": "zero_norm"}
+    assert got == {"2": "wrong_dim", "3": "null", "4": "nan", "5": "zero_norm",
+                   "6": "null_element", "7": "inf", "8": "inf"}
 
     relaxed = VectorConstraint("embeddings", "embedding", dim=3, required=False)
     got2 = {r["key"] for r in relaxed.violations({"embeddings": df}, ValidationContext()).collect()}
-    assert got2 == {"2", "4", "5"}
+    assert got2 == {"2", "4", "5", "6", "7", "8"}
 
     no_norm = VectorConstraint("embeddings", "embedding", dim=3, check_norm=False)
     got3 = {r["key"] for r in no_norm.violations({"embeddings": df}, ValidationContext()).collect()}
-    assert got3 == {"2", "3", "4"}
+    assert got3 == {"2", "3", "4", "6", "7", "8"}
 
     # fuses into the row-local bundle like domain/range
     preds = c.row_predicates(ValidationContext())

@@ -151,6 +151,18 @@ def test_retry_taxonomy_fatal_not_retried():
     assert retryable(RuntimeError("java.io.IOException: connection reset by peer"))
     assert not retryable(ValueError("bad plan"))
 
+    # deterministic OSError subclasses must NOT retry — each retry re-runs a
+    # whole Spark sink job while the real error (missing path, permission,
+    # full disk) is delayed by the backoff schedule
+    import errno
+
+    assert not retryable(FileNotFoundError("gone"))
+    assert not retryable(PermissionError("denied"))
+    assert not retryable(IsADirectoryError("dir"))
+    assert not retryable(NotADirectoryError("file"))
+    enospc = OSError(errno.ENOSPC, "No space left on device")
+    assert not retryable(enospc)
+
     calls = {"n": 0}
 
     def fatal():

@@ -95,6 +95,18 @@ def test_split_columns_disjoint_exhaustive(spark):
         sampling.split_columns("doc_id", {"a": 0.9, "b": 0.2})
 
 
+def test_split_columns_final_catchall():
+    """When rates sum to 1 the last split must be a catch-all, not a clamped
+    strict-< 'ffffffff' bound — otherwise rows whose 8-hex md5 prefix is
+    exactly 'ffffffff' (~2^-32 of rows; real rows at 10^10 docs) fall
+    through to a null split, breaking the disjoint-and-exhaustive contract."""
+    expr = repr(sampling.split_columns("doc_id", {"a": 0.5, "b": 0.5})).lower()
+    assert "ffffffff" not in expr and "true" in expr
+    # rates summing to < 1 still leave the documented null tail
+    expr2 = repr(sampling.split_columns("doc_id", {"a": 0.5})).lower()
+    assert "true" not in expr2
+
+
 # ---------------------------------------------------------------------------
 # token-budget packing
 # ---------------------------------------------------------------------------
@@ -301,3 +313,22 @@ def test_pack_chunks_grouped(spark):
     grp = {r["doc_id"]: r["tok_before"]
            for r in out.filter(F.col("grp") == "a").collect()}
     assert glob == grp
+
+
+def test_pack_grouped_exact_division_large_counts(spark):
+    """chunk_id must use EXACT integer division: near a chunk boundary with
+    large cumulative token counts (here tok_before = 256*2^45 - 1, where a
+    double's ulp exceeds 1/budget) the bare float quotient rounds UP,
+    yielding a chunk_id inconsistent with chunk_offset and with the numpy
+    `//` in the global pack_chunks form."""
+    k = 2**45
+    rows = [(1, "g", 256 * k - 1), (2, "g", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, n long")
+    out = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in packing.pack_chunks_grouped(
+            df, "doc_id", "n", budget=256, group_col="g"
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (k - 1, 255)  # float division would report chunk k

@@ -156,6 +156,11 @@ def pack_chunks_grouped(
         F.col(group_col),
         n.alias("n_tokens"),
         before.alias("tok_before"),
-        (before / budget).cast("long").alias("chunk_id"),
+        # exact integer division: (before - before % budget) is an exact
+        # multiple of budget, so the double quotient is exact too — a bare
+        # (before / budget) double can round UP at a chunk boundary once
+        # per-group cumulative counts get large, diverging from the numpy
+        # `//` in pack_chunks
+        ((before - before % budget) / budget).cast("long").alias("chunk_id"),
         (before % budget).alias("chunk_offset"),
     )

@@ -113,20 +113,28 @@ def split_columns(
     """Assign each row a split label ("train"/"val"/"test", …) from
     contiguous hash ranges — disjoint and exhaustive iff rates sum to 1.
     Deterministic: a row's split never changes when data is added around it.
-    Returns a string Column; rows past the last boundary get null (use a
-    catch-all split to avoid that)."""
+    Returns a string Column; when rates sum to < 1, rows past the last
+    boundary get null."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
     cum = 0.0
     bounds = []
+    names = list(splits)
     for name, rate in splits.items():
         cum += rate
         bounds.append((name, hash_threshold(min(cum, 1.0))))
     if cum > 1.0 + 1e-9:
         raise ValueError(f"split rates sum to {cum} > 1")
+    if cum >= 1.0 - 1e-9:
+        # rates are exhaustive: the last split is a catch-all, not a clamped
+        # strict-< boundary — otherwise rows whose 8-hex md5 prefix is
+        # exactly 'ffffffff' (~2^-32 of rows, i.e. real rows at 10^10 docs)
+        # would fall through to null
+        bounds[-1] = (names[-1], None)
     # cascading whens in ascending-threshold order: first boundary the hash
     # falls under wins, so ranges are contiguous and disjoint
     expr = F.lit(None).cast("string")
     for name, thr in bounds:
-        expr = F.coalesce(expr, F.when(h < F.lit(thr), F.lit(name)))
+        cond = F.lit(True) if thr is None else (h < F.lit(thr))
+        expr = F.coalesce(expr, F.when(cond, F.lit(name)))
     return expr

@@ -669,19 +669,38 @@ class EqualityAcrossTablesConstraint(Constraint):
         # xxhash64 is TYPE-sensitive, unlike Spark's comparison coercion:
         # long 1 and string '1' compare equal under `=` but hash differently.
         # When the two columns' types differ, hash a common-type cast of both
-        # sides (double when both are numeric — preserving 1 == 1.0 — else
-        # string) so hash equality tracks comparison equality.
+        # sides so hash equality tracks comparison equality. Spark's
+        # PromoteStrings rule coerces BOTH numeric-vs-numeric and
+        # string-vs-numeric comparisons to DOUBLE ('7.0', '07', ' 7' all
+        # compare equal to long 7), so those pairs hash a double cast; only
+        # pairs with no numeric side fall back to a string cast. A
+        # non-numeric string casts to a null double — its hash slot stays
+        # the seed value, distinct from every real number's hash, so such
+        # values still surface as violations (Spark's `=` yields NULL there,
+        # i.e. not provably equal — for a validation gate that is a fail).
         ltype = tables[self.left_table].schema[self.left_col].dataType
         rtype = tables[self.right_table].schema[self.right_col].dataType
         if ltype == rtype:
             common = None
         else:
             numeric = ("byte", "short", "int", "bigint", "float", "double", "decimal")
-            is_num = lambda t: t.simpleString().split("(")[0] in numeric  # noqa: E731
-            common = "double" if (is_num(ltype) and is_num(rtype)) else "string"
+            stringy = ("string", "varchar", "char")
+            base = lambda t: t.simpleString().split("(")[0]  # noqa: E731
+            is_num = lambda t: base(t) in numeric  # noqa: E731
+            is_str = lambda t: base(t) in stringy  # noqa: E731
+            if (is_num(ltype) or is_str(ltype)) and (is_num(rtype) or is_str(rtype)) and (
+                is_num(ltype) or is_num(rtype)
+            ):
+                common = "double"
+            else:
+                common = "string"
 
         def _h(c):
-            hashed = F.xxhash64(c if common is None else c.cast(common))
+            # try_cast, not cast: under ANSI mode a malformed string→double
+            # cast throws; try_cast yields NULL, whose hash slot is the seed
+            # value — distinct from every real number, so the row surfaces
+            # as a violation rather than failing the job
+            hashed = F.xxhash64(c if common is None else c.try_cast(common))
             return F.when(c.isNotNull(), hashed)
 
         left = tables[self.left_table].select(
@@ -746,19 +765,31 @@ class VectorConstraint(Constraint):
         self.name = f"vector:{table}.{column}"
 
     def _reason(self):
+        # Branch order matters: a NULL element makes the nan/inf exists()
+        # predicates and the norm aggregate all evaluate to NULL (every
+        # branch silently skipped), and Arrow converts such elements to NaN
+        # inside the mapInPandas ANN stages this gate protects — so
+        # null_element is screened BEFORE any predicate that would null out.
         c = F.col(self.column)
+        null_el = F.exists(c, lambda x: x.isNull())
         nan = F.exists(c, lambda x: F.isnan(x.cast("double")))
+        inf = F.exists(c, lambda x: F.abs(x.cast("double")) == F.lit(float("inf")))
         sq = F.aggregate(
             c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
         r = F.when(c.isNull(), F.lit("null") if self.required else F.lit(None))
-        r = r.when(F.size(c) != self.dim, F.lit("wrong_dim")).when(nan, F.lit("nan"))
+        r = (
+            r.when(F.size(c) != self.dim, F.lit("wrong_dim"))
+            .when(null_el, F.lit("null_element"))
+            .when(nan, F.lit("nan"))
+            .when(inf, F.lit("inf"))
+        )
         if self.check_norm:
             r = r.when(sq == 0.0, F.lit("zero_norm"))
         return r.otherwise(F.lit(None))
 
     def _expected(self) -> str:
-        parts = [f"dim={self.dim}", "finite"]
+        parts = [f"dim={self.dim}", "elements non-null and finite"]
         if self.required:
             parts.insert(0, "non-null")
         if self.check_norm:

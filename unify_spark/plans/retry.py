@@ -52,22 +52,37 @@ _TRANSIENT_MARKERS = (
     "internalerror",
     "unavailable",
     "broken pipe",
-    "no space left",  # often transient on shared scratch; bounded retries
+)
+
+# Deterministic OSError subclasses: retrying cannot change a missing path,
+# a permission denial, or a wrong node type, and each retry re-executes a
+# whole Spark sink job — surface these immediately. ENOSPC likewise: a full
+# disk stays full on the retry timescale of a sink write.
+_FATAL_OSERRORS = (
+    FileNotFoundError,
+    PermissionError,
+    IsADirectoryError,
+    NotADirectoryError,
 )
 
 
 def retryable(exc: BaseException) -> bool:
     """Classify an exception as retryable (transient I/O) or fatal.
 
-    OSError and its subclasses are retryable (filesystem/object-store
-    transients). Spark-side errors are retryable only when a known transient
+    OSError is retryable (filesystem/object-store transients) EXCEPT the
+    deterministic subclasses (missing path, permission, wrong node type)
+    and ENOSPC. Spark-side errors are retryable only when a known transient
     marker appears in the message chain — AnalysisException and friends stay
     fatal so plan bugs surface immediately.
     """
+    import errno
+
     if isinstance(exc, _FATAL_TYPES):
         return False
+    if isinstance(exc, _FATAL_OSERRORS):
+        return False
     if isinstance(exc, OSError):
-        return True
+        return getattr(exc, "errno", None) != errno.ENOSPC
     try:
         from pyspark.errors import AnalysisException, IllegalArgumentException
 
