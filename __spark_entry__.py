@@ -84,6 +84,25 @@ def q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ri_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Both referential-integrity shapes in one labeled violation frame:
+    the broadcast anti-join (orders→customer, dim-sized right side) and the
+    fact×fact shuffle anti-join (lineitem→orders). Merged from the former
+    q_ri_orders_customer / q_ri_lineitem_orders rows (the driver records at
+    most 50 queries; the raw single-check functions remain for the bench)."""
+    a = q_ri_orders_customer(spark, sf).select(
+        F.lit("orders->customer").alias("constraint"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("ref"),
+    )
+    b = q_ri_lineitem_orders(spark, sf).select(
+        F.lit("lineitem->orders").alias("constraint"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_partkey").alias("ref"),
+    )
+    return a.unionByName(b)
+
+
 def q_domain_event_type(spark: SparkSession, sf: str) -> DataFrame:
     """DomainConstraint: enum membership violations (isin pushdown)."""
     ev = _t(spark, sf, "events")
@@ -180,11 +199,14 @@ def q_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting per language (whitespace tokenizer)."""
+    """Token counting per language: whitespace tokenizer AND the
+    BPE-pretokenizer count (letter runs / digit runs / single punctuation)
+    in one grouped pass — both tokenizer families, one correctness row."""
     docs = _t(spark, sf, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count("text").cast("long")).alias("total_tokens"),
+        F.sum(text.bpe_ish_token_count("text").cast("long")).alias("total_bpe_tokens"),
     )
 
 
@@ -309,6 +331,112 @@ def q_winnow_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rescore_candidates(spark: SparkSession, sf: str, cands: DataFrame) -> DataFrame:
+    """Shared derived-oracle skeleton for the hash-dependent candidate
+    generators: intersect the emitted candidate pairs with the EXACT
+    3-gram-Jaccard-≥0.5 pair set. The intersection equals the exact set iff
+    candidate recall@0.5 is 1.0 — so the driver's row/hash compare against
+    the exact-all-pairs DuckDB oracle is a true recall gate on the banding
+    scheme, even though the hashes themselves aren't SQL-reproducible. A
+    single missed true pair drops a row and turns the query red."""
+    docs = _t(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return exact.join(cands.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_minhash_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate completeness, fully oracled: candidates
+    (num_hashes=32, bands=8 — the q_minhash_candidates config) re-scored
+    with exact 3-gram Jaccard and intersected with the exact ≥0.5 pair set;
+    the oracle computes that exact set directly. Miss probability per true
+    pair at j=0.9 with r=4,b=8 is (1-j^4)^8 ≈ 4e-5 — measured recall here
+    is 1.0 at sf0.001 and sf0.01. The raw (hash-dependent) candidate frame
+    stays pytest-pinned in tests/test_functions.py."""
+    docs = _t(spark, sf, "documents")
+    cands = dedup.minhash_candidates(docs, "doc_id", "text", num_hashes=32, bands=8)
+    return _rescore_candidates(spark, sf, cands)
+
+
+def q_simhash_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash candidate completeness, fully oracled (same skeleton as
+    q_minhash_precision). band_bits=8 (8 bands of 8 bits) rather than the
+    throughput query's 16: a true near-dup pair needs only ONE intact band,
+    and 8-bit bands make a miss need hamming spread across all 8 — measured
+    recall 1.0 at both oracle SFs, where 16-bit bands measured 0.84-0.86."""
+    docs = _t(spark, sf, "documents")
+    cands = dedup.simhash_candidates(docs, "doc_id", "text", band_bits=8)
+    return _rescore_candidates(spark, sf, cands)
+
+
+def q_winnow_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing candidate completeness, fully oracled (same skeleton).
+    The dense config (w=4, min_shared=10, max_fp_freq=2000) — winnowing
+    guarantees a shared run ≥ w+k-1 chars yields a shared fingerprint, and
+    near-dups at Jaccard ≥0.5 share many such runs; measured recall 1.0 at
+    both oracle SFs (the throughput-tuned w=12 config measures 0.93-0.96
+    and stays a rows-only + pytest-pinned query)."""
+    docs = _t(spark, sf, "documents")
+    cands = dedup.winnow_candidates(
+        docs, "doc_id", "text", w=4, min_shared=10, max_fp_freq=2000
+    )
+    return _rescore_candidates(spark, sf, cands)
+
+
+def _ann_precision_frames(spark: SparkSession, sf: str):
+    """Deterministic ANN ground truth: the embeddings fixture has no
+    high-similarity pairs (max pairwise cosine ≈0.51), so augment the base
+    with SCALED copies (vec_id+100000 = 1.5×vector for vec_id<100). Scaling
+    preserves direction exactly, so each query's copy sits at cosine 1.0 —
+    and both hyperplane signatures and IVF cell assignment are pure
+    functions of direction, making 'every duplicate direction is found' a
+    deterministic invariant of the algorithms, not fixture luck. Returns
+    (base, queries, exact ≥0.99 directed pairs)."""
+    emb = _t(spark, sf, "embeddings")
+    embd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = embd.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    base = embd.unionByName(scaled)
+    queries = embd.filter(F.col("vec_id") < 100)
+    b2 = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cross = queries.select(
+        F.col("vec_id").alias("id_q"), F.col("embedding").alias("eq")
+    ).crossJoin(F.broadcast(b2)).filter(F.col("id_q") != F.col("id_b"))
+    exact = cross.select(
+        "id_q",
+        "id_b",
+        F.round(similarity.cosine(F.col("eq"), F.col("eb")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.99)
+    return base, queries, exact
+
+
+def q_lsh_ann_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN completeness, fully oracled: exact cosine-≥0.99
+    directed pairs (each query and its scaled duplicate direction)
+    intersected with lsh_ann_topk's candidates. Identical directions get
+    identical band signatures, so recall on this set is 1.0 by
+    construction; the oracle recomputes the exact pair set in SQL. Graded
+    recall on borderline pairs stays pytest-pinned (test_functions.py)."""
+    base, queries, exact = _ann_precision_frames(spark, sf)
+    cands = similarity.lsh_ann_topk(base, queries, dim=64, k=10, n_planes=16, n_bands=4)
+    return exact.join(cands.select("id_q", "id_b"), ["id_q", "id_b"], "left_semi")
+
+
+def q_ivf_ann_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN completeness, fully oracled (same construction): identical
+    directions map to the same spherical-k-means cell, and a query always
+    probes its own cell first, so its duplicate is always in the probed
+    candidate set regardless of the trained centroids."""
+    base, queries, exact = _ann_precision_frames(spark, sf)
+    cands = similarity.ivf_ann_topk(base, queries, dim=64, k=10, n_cells=16, n_probe=4)
+    return exact.join(cands.select("id_q", "id_b"), ["id_q", "id_b"], "left_semi")
+
+
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate clustering via distributed connected components over
     exact-fingerprint star edges (each doc → its group's min id). The CC
@@ -396,16 +524,6 @@ def q_range_violations(spark: SparkSession, sf: str) -> DataFrame:
     return ev.filter(
         F.col("value").isNotNull() & ((F.col("value") < 0) | (F.col("value") > 95))
     ).select("event_id", F.round("value", 6).alias("value"))
-
-
-def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-pretokenizer token counting (letter runs / digit runs / single
-    punctuation) per language."""
-    docs = _t(spark, sf, "documents")
-    return docs.groupBy("lang").agg(
-        F.sum(text.bpe_ish_token_count("text").cast("long")).alias("total_bpe_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
 
 
 def q_windowed_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -634,6 +752,20 @@ def q_pack_grouped(spark: SparkSession, sf: str) -> DataFrame:
     return packing.pack_chunks_grouped(docs, "doc_id", "_n_tok", budget=256, group_col="lang")
 
 
+def q_pack_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Straddle splits over the packed documents: one (doc, chunk,
+    slice_start, slice_len) row per chunk a document touches — the rows a
+    training-sequence builder consumes. Same prefix-sum numbers as
+    q_pack_chunks plus a pure sequence/explode projection (no extra
+    shuffle); oracle re-derives the spans from the SQL window prefix sum
+    with generate_series."""
+    from unify_spark.functions import packing
+
+    docs = _t(spark, sf, "documents")
+    packed = packing.pack_documents(docs, "doc_id", "text", budget=256)
+    return packing.pack_spans(packed, "doc_id", budget=256)
+
+
 def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     """PII surface scan (functions/text.py PII_PATTERNS): per-row match
     counts of email/ipv4/phone/ssn patterns. The testdata customer table
@@ -728,8 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stats_lineitem": q_stats_lineitem,
         "q_uniqueness_dups": q_uniqueness_dups,
         "q_composite_uniqueness": q_composite_uniqueness,
-        "q_ri_orders_customer": q_ri_orders_customer,
-        "q_ri_lineitem_orders": q_ri_lineitem_orders,
+        "q_ri_violations": q_ri_violations,
         "q_domain_event_type": q_domain_event_type,
         "q_enum_mapping": q_enum_mapping,
         "q_nullrate_events": q_nullrate_events,
@@ -744,19 +875,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cosine_pairs": q_embed_cosine_pairs,
         "q_embed_topk": q_embed_topk,
         "q_lang_id": q_lang_id,
-        "q_minhash_candidates": q_minhash_candidates,
-        "q_simhash_candidates": q_simhash_candidates,
+        "q_minhash_precision": q_minhash_precision,
+        "q_simhash_precision": q_simhash_precision,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_lsh_ann": q_lsh_ann,
-        "q_ivf_ann": q_ivf_ann,
+        "q_lsh_ann_precision": q_lsh_ann_precision,
+        "q_ivf_ann_precision": q_ivf_ann_precision,
         "q_dup_clusters": q_dup_clusters,
         "q_multihop_revenue": q_multihop_revenue,
-        "q_winnow_candidates": q_winnow_candidates,
+        "q_winnow_precision": q_winnow_precision,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
         "q_distinct_counts": q_distinct_counts,
         "q_range_violations": q_range_violations,
-        "q_bpe_tokens": q_bpe_tokens,
         "q_windowed_events": q_windowed_events,
         "q_upsert_conflict": q_upsert_conflict,
         "q_tdigest_quantiles": q_tdigest_quantiles,
@@ -772,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_take_per_stratum": q_take_per_stratum,
         "q_pack_chunks": q_pack_chunks,
         "q_pack_grouped": q_pack_grouped,
+        "q_pack_spans": q_pack_spans,
         "q_pii_scan": q_pii_scan,
         "q_dedup_normalized": q_dedup_normalized,
         "q_ngram_containment": q_ngram_containment,
@@ -780,6 +911,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP_EN = "'the','a','of','and','to','in','is','that'"
+
+
+def _jaccard_sql(thr: float) -> str:
+    """Exact all-pairs token-3-gram Jaccard ≥ thr — the shared oracle for
+    q_ngram_jaccard and the candidate-precision queries (which intersect
+    their candidates with this exact set, so equality == recall 1.0)."""
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        idx AS (
+          SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+          FROM toks
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM (
+          SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        ) WHERE jaccard >= {thr}
+    """
+
+
+# exact cosine-≥0.99 directed pairs over embeddings ∪ scaled copies — the
+# shared oracle for both ANN precision queries (see _ann_precision_frames:
+# scaling preserves direction, so each of the first 100 vectors finds its
+# 1.5× copy at cosine 1.0; no natural pair exceeds ~0.51)
+_ANN_PRECISION_SQL = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scaled AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> x * 1.5) AS e
+      FROM v WHERE vec_id < 100
+    ),
+    base AS (SELECT * FROM v UNION ALL SELECT * FROM scaled),
+    q AS (SELECT * FROM v WHERE vec_id < 100)
+    SELECT id_q, id_b, cos_sim FROM (
+      SELECT q.vec_id AS id_q, b.vec_id AS id_b,
+             ROUND(list_dot_product(q.e, b.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+                 AS cos_sim
+      FROM q JOIN base b ON q.vec_id <> b.vec_id
+    ) WHERE cos_sim >= 0.99
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -802,12 +986,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
             FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
         """,
-        "q_ri_orders_customer": """
-            SELECT o_orderkey, o_custkey FROM orders o
+        "q_ri_violations": """
+            SELECT 'orders->customer' AS constraint, o_orderkey AS key, o_custkey AS ref
+            FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        """,
-        "q_ri_lineitem_orders": """
-            SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l
+            UNION ALL
+            SELECT 'lineitem->orders' AS constraint, l_orderkey AS key, l_partkey AS ref
+            FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         """,
         "q_domain_event_type": """
@@ -862,7 +1047,9 @@ def oracle_sql() -> dict[str, str]:
         "q_text_tokens": r"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-                       AS total_tokens
+                       AS total_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                       AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "q_text_quality": rf"""
@@ -907,13 +1094,6 @@ def oracle_sql() -> dict[str, str]:
         "q_range_violations": """
             SELECT event_id, ROUND(value, 6) AS value FROM events
             WHERE value IS NOT NULL AND (value < 0 OR value > 95)
-        """,
-        "q_bpe_tokens": r"""
-            SELECT lang,
-                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-                       AS total_bpe_tokens,
-                   COUNT(*) AS n_docs
-            FROM documents GROUP BY lang
         """,
         "q_windowed_events": """
             SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
@@ -998,31 +1178,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(event_id AS VARCHAR) AS key, 'user_id' AS "column"
             FROM events WHERE event_type = 'purchase' AND user_id IS NULL
         """,
-        "q_ngram_jaccard": r"""
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-              FROM documents WHERE text IS NOT NULL
-            ),
-            idx AS (
-              SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-              FROM toks
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM (
-              SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jaccard
-              FROM inter
-              JOIN sizes sa ON sa.doc_id = id_a
-              JOIN sizes sb ON sb.doc_id = id_b
-            ) WHERE jaccard >= 0.2
-        """,
+        "q_ngram_jaccard": _jaccard_sql(0.2),
+        # candidate-precision oracles: exact ≥0.5 Jaccard pair set — the
+        # Spark side intersects its LSH/simhash/winnow candidates with this
+        # set, so equality certifies recall 1.0 (see the query docstrings)
+        "q_minhash_precision": _jaccard_sql(0.5),
+        "q_simhash_precision": _jaccard_sql(0.5),
+        "q_winnow_precision": _jaccard_sql(0.5),
+        "q_lsh_ann_precision": _ANN_PRECISION_SQL,
+        "q_ivf_ann_precision": _ANN_PRECISION_SQL,
         "q_embed_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
                  q AS (SELECT e FROM v WHERE vec_id = 0)
@@ -1151,6 +1315,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             )
+        """,
+        "q_pack_spans": r"""
+            WITH packed AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_before
+              FROM (
+                SELECT doc_id,
+                       COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)
+                         AS n_tokens
+                FROM documents
+              )
+            ),
+            fanned AS (
+              SELECT doc_id, n_tokens, tok_before,
+                     unnest(generate_series(tok_before // 256,
+                                            (tok_before + n_tokens - 1) // 256)) AS chunk_id
+              FROM packed WHERE n_tokens > 0
+            )
+            SELECT doc_id, chunk_id,
+                   greatest(chunk_id * 256, tok_before) - tok_before AS slice_start,
+                   least(chunk_id * 256 + 256, tok_before + n_tokens)
+                     - greatest(chunk_id * 256, tok_before) AS slice_len
+            FROM fanned
         """,
         "q_pii_scan": f"""
             SELECT c_custkey,

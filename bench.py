@@ -134,7 +134,14 @@ def run_headline(sf_dir: str, reps: int = 2) -> dict[str, float]:
 
     stop_spark()
     spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    qs = entry_mod.queries()
+    # headline queries resolve from the driver registry first, then module
+    # attributes: the raw candidate generators (q_minhash_candidates, …)
+    # stay the benched operators even though the 50-slot driver registry
+    # now carries their oracle-checkable precision companions instead
+    qs = dict(entry_mod.queries())
+    for name in HEADLINE_QUERIES:
+        if name not in qs:
+            qs[name] = getattr(entry_mod, name)
     out: dict[str, float] = {}
     try:
         # warm-up

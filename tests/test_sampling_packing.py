@@ -315,6 +315,40 @@ def test_pack_chunks_grouped(spark):
     assert glob == grp
 
 
+def test_pack_spans_partition_docs_and_fill_chunks(spark):
+    """Span rows must (a) partition each document's token range — per doc,
+    slices are contiguous from 0 and sum to n_tokens; (b) fill every chunk
+    except the last to exactly the budget; (c) give zero-token docs no
+    span."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([0, 3, 50, 120, 700])) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packed = packing.pack_chunks(df, "doc_id", "n_tok", budget=256, num_shards=5)
+    spans = packing.pack_spans(packed, "doc_id", budget=256).collect()
+
+    by_doc: dict[int, list] = {}
+    by_chunk: dict[int, int] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["slice_start"], r["slice_len"]))
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["slice_len"]
+    n_by_id = dict(rows)
+    total = sum(n_by_id.values())
+    for doc, ss in by_doc.items():
+        ss.sort()
+        assert ss[0][1] == 0  # starts at offset 0
+        pos = 0
+        for chunk, start, ln in ss:
+            assert start == pos and ln > 0
+            pos += ln
+        assert pos == n_by_id[doc]
+    assert set(by_doc) == {i for i, n in rows if n > 0}
+    last_chunk = max(by_chunk)
+    for chunk, filled in by_chunk.items():
+        assert filled == (256 if chunk < last_chunk else total - 256 * last_chunk)
+
+
 def test_pack_grouped_exact_division_large_counts(spark):
     """chunk_id must use EXACT integer division: near a chunk boundary with
     large cumulative token counts (here tok_before = 256*2^45 - 1, where a

@@ -122,6 +122,48 @@ def pack_documents(
     return pack_chunks(with_counts, id_col, "_n_tok", budget, num_shards)
 
 
+def pack_spans(
+    packed: DataFrame,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Straddle splits for a ``pack_chunks`` result: one row per (document,
+    chunk) the document's token stream touches — what a training-sequence
+    builder actually consumes. ``slice_start`` is the token offset INSIDE
+    the document where the chunk's share begins; ``slice_len`` its length;
+    together the spans of a document partition [0, n_tokens) and the spans
+    of a chunk sum to ``budget`` (except the final chunk).
+
+    Pure expressions: explode over the chunk range
+    [tok_before // budget, (tok_before + n_tokens - 1) // budget] — no
+    shuffle at all (the input's partitioning is preserved); a document
+    spanning many chunks fans out to exactly its span count. Integer
+    division uses the exact (x - x % b) / b form (see pack_chunks_grouped).
+    Zero-token documents occupy no span."""
+    b = int(budget)
+
+    def _div(x):
+        return ((x - x % b) / b).cast("long")
+
+    first = F.col("tok_before")
+    n = F.col("n_tokens")
+    chunk_start = F.col("chunk_id") * b
+    lo = F.greatest(chunk_start, first)
+    hi = F.least(chunk_start + b, first + n)
+    return (
+        packed.filter(n > 0)
+        .withColumn("_c0", _div(first))
+        .withColumn("_c1", _div(first + n - 1))
+        .withColumn("chunk_id", F.explode(F.sequence(F.col("_c0"), F.col("_c1"))))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            (lo - first).alias("slice_start"),
+            (hi - lo).alias("slice_len"),
+        )
+    )
+
+
 def pack_chunks_grouped(
     df: DataFrame,
     id_col: str,
