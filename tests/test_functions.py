@@ -89,6 +89,45 @@ def test_lsh_ann_recall(spark):
     assert got == {(i, 100 + i) for i in range(5)}
 
 
+def test_validated_vectors_pre_gate_composes_with_ann(spark):
+    """The VectorConstraint pre-gate composed ahead of the ANN entry points:
+    validated_vectors screens null / ragged / null-element / NaN / Inf /
+    zero-norm rows into a violation frame, and the surviving clean frame can
+    run lsh_ann_topk / ivf_ann_topk with validated=True (fast path skipping
+    per-batch masking) with results IDENTICAL to the default masked path."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [(i, rng.normal(size=16).astype("float64").tolist()) for i in range(60)]
+    dirty = rows + [
+        (100, None),
+        (101, rows[0][1][:7]),          # ragged
+        (102, [float("nan")] * 16),
+        (103, [0.0] * 16),              # zero norm
+        (104, [None] + rows[1][1][1:]),  # null element
+    ]
+    df = spark.createDataFrame(dirty, "vec_id long, embedding array<double>")
+
+    clean, vios = similarity.validated_vectors(df, dim=16)
+    assert clean.count() == 60
+    got_v = {r["key"]: r["observed"] for r in vios.collect()}
+    assert got_v == {"100": "null", "101": "wrong_dim", "102": "nan",
+                     "103": "zero_norm", "104": "null_element"}
+
+    queries = clean.filter(F.col("vec_id") < 3)
+    for fn in (
+        lambda v: similarity.lsh_ann_topk(
+            clean, queries, dim=16, k=4, n_planes=8, n_bands=4, validated=v
+        ),
+        lambda v: similarity.ivf_ann_topk(
+            clean, queries, dim=16, k=4, n_cells=4, n_probe=2, validated=v
+        ),
+    ):
+        fast = sorted((r["id_q"], r["id_b"], r["rank"]) for r in fn(True).collect())
+        slow = sorted((r["id_q"], r["id_b"], r["rank"]) for r in fn(False).collect())
+        assert fast == slow and len(fast) > 0
+
+
 def test_lang_id(spark):
     rows = [
         (0, "the cat and the dog of a house that is in town"),
@@ -475,6 +514,61 @@ def test_winnow_recall_sparse_window_config(spark):
               dedup.winnow_candidates(docs, "doc_id", "text", w=12, min_shared=15,
                                       max_fp_freq=800).collect()}
         assert len(t2 & g2) / len(t2) >= 0.85
+
+
+@pytest.mark.parametrize(
+    "cfg,floor",
+    [
+        ({"min_shared": 3}, 0.8),                                  # library default w
+        ({"w": 12, "min_shared": 2}, 0.8),                         # headline sparse
+        ({"w": 4, "min_shared": 3, "max_fp_freq": 2000}, 1.0),     # precision-oracle
+    ],
+    ids=["default", "headline-w12", "precision-w4"],
+)
+def test_winnow_recall_all_configs(spark, cfg, floor):
+    """Recall pinned at EVERY shipped winnow configuration — the library
+    default, the throughput-tuned headline query (w=12), and the dense
+    precision-oracle config (w=4, which q_winnow_precision's driver oracle
+    requires at recall 1.0) — so a future retune of any one config cannot
+    silently drop recall elsewhere."""
+    import random
+
+    rng = random.Random(37)
+    words = [f"tok{i}" for i in range(200)]
+    rows = []
+    did = 0
+    for b in range(12):
+        base_words = [words[rng.randrange(200)] for _ in range(60)]
+        rows.append((did, " ".join(base_words))); did += 1
+        for _ in range(2):
+            ed = list(base_words)
+            for _ in range(3):
+                ed[rng.randrange(60)] = words[rng.randrange(200)]
+            rows.append((did, " ".join(ed))); did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    truth = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.6).collect()}
+    assert len(truth) >= 12
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.winnow_candidates(df, "doc_id", "text", **cfg).collect()}
+    assert len(truth & got) / len(truth) >= floor
+
+
+def test_winnow_precision_config_full_recall_on_fixture(spark):
+    """The q_winnow_precision oracle asserts candidates ⊇ exact-Jaccard≥0.5
+    pairs on the driver fixture — pin exactly that here (recall 1.0, not a
+    floor) at the query's (w=4, min_shared=10, max_fp_freq=2000) config so
+    the oracle can't go red from a silent library change."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                       max_shingle_freq=None).collect()}
+    assert truth
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.winnow_candidates(docs, "doc_id", "text", w=4, min_shared=10,
+                                   max_fp_freq=2000).collect()}
+    assert truth <= got
 
 
 def test_ngram_containment_asymmetric(spark):

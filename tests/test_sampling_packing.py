@@ -95,6 +95,64 @@ def test_split_columns_disjoint_exhaustive(spark):
         sampling.split_columns("doc_id", {"a": 0.9, "b": 0.2})
 
 
+def test_take_per_stratum_two_phase_giant_stratum(spark):
+    """The giant-stratum escape: with strata_counts supplied, a dominant
+    stratum is pre-thinned by the hash_keep predicate BEFORE the window
+    shuffle. Because hash_keep keeps a strict PREFIX of the very md5 order
+    the window ranks by, the two-phase result is EXACTLY the single-phase
+    result — asserted here against the unthinned run on a 10^6-row stratum
+    — and the pre-filter must appear under the exchange in the plan."""
+    big = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"), F.lit("web").alias("stratum")
+    )
+    small = spark.range(1_000_000, 1_000_300).select(
+        F.col("id").alias("event_id"), F.lit("books").alias("stratum")
+    )
+    df = big.unionByName(small)
+
+    two_phase = sampling.take_per_stratum(
+        df, "event_id", "stratum", 100, strata_counts={"web": 1_000_000}
+    )
+    rows = two_phase.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["stratum"], set()).add(r["event_id"])
+    assert len(by["web"]) == 100 and len(by["books"]) == 100  # exact quotas
+
+    single = sampling.take_per_stratum(df, "event_id", "stratum", 100)
+    assert {tuple(sorted(v)) for v in by.values()} == {
+        tuple(sorted(v))
+        for v in (
+            lambda d: [
+                {r["event_id"] for r in single.collect() if r["stratum"] == s}
+                for s in d
+            ]
+        )(by)
+    }
+
+    # the md5-threshold pre-filter runs before the exchange (pushed toward
+    # the scan), so the giant stratum ships ~3n rows, not 10^6
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    filter_pos = plan.find("md5")
+    exchange_pos = plan.find("Exchange")
+    assert filter_pos != -1 and exchange_pos != -1 and filter_pos > exchange_pos
+    # (plans print top-down: the Filter appearing BELOW the Exchange line
+    # means it executes before the shuffle)
+
+
+def test_pack_grouped_big_group_fallback(spark):
+    """Routing a dominant group through the partition-parallel pack_chunks
+    scan must give bit-identical placements to the single-window path."""
+    rows = [(i, (i * 7) % 300, "en" if i % 4 else "fr") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "lang"])
+    plain = packing.pack_chunks_grouped(df, "doc_id", "n_tok", budget=256, group_col="lang")
+    escaped = packing.pack_chunks_grouped(
+        df, "doc_id", "n_tok", budget=256, group_col="lang", big_groups=["en"]
+    )
+    assert plain.exceptAll(escaped).count() == 0
+    assert escaped.exceptAll(plain).count() == 0
+
+
 def test_split_columns_final_catchall():
     """When rates sum to 1 the last split must be a catch-all, not a clamped
     strict-< 'ffffffff' bound — otherwise rows whose 8-hex md5 prefix is
@@ -292,6 +350,85 @@ def test_cli_corpus_clean(spark, tmp_path, capsys):
     assert r["n_input"] == 4 and r["removed_quality"] == 1
     kept = {x["doc_id"] for x in spark.read.parquet(out).collect()}
     assert kept == {2, 4}  # doc 2 wins its cluster (more tokens than doc 1)
+
+
+def test_cli_audio_features_sidecars(spark, tmp_path, capsys):
+    """The multimodal family end-to-end from the CLI: feature + activity-
+    segment sidecars written for the fixture clips, knobs honored from a
+    corpus.audio config section."""
+    import json
+
+    from unify_spark import cli
+    from unify_spark.fixtures import generate_fixture
+
+    data = str(tmp_path / "data")
+    generate_fixture(data, n_rows=1000, n_parts=2)
+
+    cfg = tmp_path / "corpus.yaml"
+    cfg.write_text(
+        "corpus:\n  audio:\n    threshold_dbfs: -45.0\n    min_dur_ms: 40\n"
+    )
+    out = str(tmp_path / "audio")
+    rc = cli.main(
+        ["audio-features", "--table", f"{data}/clips", "--out", out,
+         "--config", str(cfg)]
+    )
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0
+    # the fixture holds n_rows clean clips plus injected-defect rows
+    assert r["n_clips"] >= 1000 and r["total_speech_ms"] > 0
+    feats = spark.read.parquet(r["features"])
+    segs = spark.read.parquet(r["segments"])
+    assert feats.count() == r["n_clips"] and segs.count() == r["n_clips"]
+    assert {"rms_db", "peak", "zcr", "clipping_ratio", "silence_ratio",
+            "dc_offset"} <= set(feats.columns)
+    assert {"segments", "n_segments", "speech_ms"} <= set(segs.columns)
+
+
+def test_cli_embed_dedup_config_driven(spark, tmp_path, capsys):
+    """Semantic dedup runnable with zero Python: knobs from the
+    corpus.embed_dedup config section; planted duplicate directions must
+    cluster together."""
+    import json
+
+    import numpy as np
+
+    from unify_spark import cli
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = rng.normal(size=(40, 16)).astype("float64")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100..104 duplicate directions of 0..4 (scaled → cosine 1.0)
+    rows += [(100 + i, (base[i] * 2.0).tolist()) for i in range(5)]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(src)
+
+    cfg = tmp_path / "corpus.yaml"
+    cfg.write_text(
+        "corpus:\n  embed_dedup:\n    dim: 16\n    threshold: 0.98\n"
+        "    n_planes: 40\n    n_bands: 8\n    max_bucket_size: 10000\n"
+    )
+    out = str(tmp_path / "clusters")
+    rc = cli.main(
+        ["corpus-embed-dedup", "--table", src, "--out", out, "--config", str(cfg)]
+    )
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0 and r["n_vectors"] == 45 and r["n_duplicates"] == 5
+    cl = {x["vec_id"]: x["cluster"] for x in spark.read.parquet(out).collect()}
+    for i in range(5):
+        assert cl[i] == cl[100 + i]
+
+    # a typo'd knob must error, not silently fall back
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("corpus:\n  embed_dedup:\n    treshold: 0.9\n")
+    import pytest as _pytest
+
+    from unify_spark.plans.config import load_corpus_config
+
+    with _pytest.raises(ValueError, match="unknown keys"):
+        load_corpus_config(str(bad))
 
 
 def test_pack_chunks_grouped(spark):

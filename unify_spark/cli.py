@@ -289,15 +289,26 @@ def cmd_corpus_clean(args) -> int:
     from unify_spark.functions.pipeline import clean_corpus
     from unify_spark.sources import read_table
 
+    knobs = _with_config(
+        args,
+        "clean",
+        {
+            "id_col": "doc_id",
+            "text_col": "text",
+            "min_tokens": 5,
+            "max_punct_ratio": 0.3,
+            "min_est_jaccard": 0.5,
+        },
+    )
     spark = get_spark("unify-corpus-clean")
     df = read_table(spark, args.table)
     kept, report = clean_corpus(
         df,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        min_tokens=args.min_tokens,
-        max_punct_ratio=args.max_punct_ratio,
-        min_est_jaccard=args.min_est_jaccard,
+        id_col=knobs["id_col"],
+        text_col=knobs["text_col"],
+        min_tokens=int(knobs["min_tokens"]),
+        max_punct_ratio=float(knobs["max_punct_ratio"]),
+        min_est_jaccard=float(knobs["min_est_jaccard"]),
     )
     kept.write.mode("overwrite").parquet(args.out)
     kept.unpersist()
@@ -384,6 +395,142 @@ def cmd_corpus_pack(args) -> int:
     return 0
 
 
+def _with_config(args, section: str, defaults: dict) -> dict:
+    """Resolve operator knobs: built-in default < config-file corpus section
+    < explicit CLI flag (flags default to None so a given flag always
+    wins). This is the zero-Python contract for the corpus operators —
+    every knob reachable from a YAML/JSON file (plans/config.py
+    parse_corpus_config)."""
+    cfg = {}
+    if getattr(args, "config", None):
+        from unify_spark.plans.config import load_corpus_config
+
+        cfg = getattr(load_corpus_config(args.config), section)
+    out = dict(defaults)
+    out.update(cfg)
+    for k in defaults:
+        v = getattr(args, k, None)
+        if v is not None:
+            out[k] = v
+    return out
+
+
+def cmd_corpus_embed_dedup(args) -> int:
+    """Semantic (embedding-space) duplicate clustering from the CLI:
+    banded hyperplane LSH candidates → exact cosine → pointer-doubling
+    connected components (functions/similarity.py embedding_dup_clusters).
+    All knobs config-reachable: corpus.embed_dedup in --config."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.similarity import embedding_dup_clusters
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "embed_dedup",
+        {
+            "id_col": "vec_id",
+            "vec_col": "embedding",
+            "dim": None,
+            "threshold": 0.95,
+            "n_planes": 100,
+            "n_bands": 10,
+            "max_bucket_size": 100_000,
+        },
+    )
+    if knobs["dim"] is None:
+        print("error: dim required (flag --dim or corpus.embed_dedup.dim)", file=sys.stderr)
+        return 2
+    spark = get_spark("unify-embed-dedup")
+    df = read_table(spark, args.table)
+    out = embedding_dup_clusters(
+        df,
+        dim=int(knobs["dim"]),
+        threshold=float(knobs["threshold"]),
+        id_col=knobs["id_col"],
+        vec_col=knobs["vec_col"],
+        n_planes=int(knobs["n_planes"]),
+        n_bands=int(knobs["n_bands"]),
+        max_bucket_size=int(knobs["max_bucket_size"]),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    clusters = spark.read.parquet(args.out)
+    row = clusters.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_vectors": row["n"],
+                "n_clusters": row["n_clusters"],
+                "n_duplicates": row["n"] - row["n_clusters"],
+                "threshold": float(knobs["threshold"]),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_audio_features(args) -> int:
+    """Audio feature + activity-segment sidecars from the CLI: decode every
+    clip once per sidecar in Arrow-vectorized groups and write
+    (features.parquet, segments.parquet) next to ``--out``. Column names
+    and VAD knobs come from corpus.audio in --config or flags — the same
+    config-driven entry the text corpus path has."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.multimodal import audio_features, audio_segments
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "audio",
+        {
+            "id_col": "clip_id",
+            "bytes_col": "bytes",
+            "codec_col": "codec",
+            "sr_col": "sr_hz",
+            "threshold_dbfs": -40.0,
+            "max_gap_ms": 100,
+            "min_dur_ms": 60,
+        },
+    )
+    spark = get_spark("unify-audio-features")
+    df = read_table(spark, args.table)
+    cols = {k: knobs[k] for k in ("id_col", "bytes_col", "codec_col", "sr_col")}
+    feats_path = os.path.join(args.out, "features.parquet")
+    segs_path = os.path.join(args.out, "segments.parquet")
+    audio_features(df, **cols).write.mode("overwrite").parquet(feats_path)
+    audio_segments(
+        df,
+        **cols,
+        threshold_dbfs=float(knobs["threshold_dbfs"]),
+        max_gap_ms=int(knobs["max_gap_ms"]),
+        min_dur_ms=int(knobs["min_dur_ms"]),
+    ).write.mode("overwrite").parquet(segs_path)
+    feats = spark.read.parquet(feats_path)
+    segs = spark.read.parquet(segs_path)
+    row = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("reason").isNotNull().cast("long")).alias("n_failed"),
+    ).first()
+    srow = segs.agg(F.sum("speech_ms").alias("speech_ms")).first()
+    print(
+        json.dumps(
+            {
+                "n_clips": row["n"],
+                "n_failed": int(row["n_failed"] or 0),
+                "total_speech_ms": int(srow["speech_ms"] or 0),
+                "features": feats_path,
+                "segments": segs_path,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_generate_fixture(args) -> int:
     from unify_spark.fixtures import generate_fixture
 
@@ -463,11 +610,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("corpus-clean", help="quality-gate + dedup + canonicalize a corpus")
     s.add_argument("--table", required=True, help="input parquet path")
     s.add_argument("--out", required=True)
-    s.add_argument("--id-col", default="doc_id")
-    s.add_argument("--text-col", default="text")
-    s.add_argument("--min-tokens", type=int, default=5)
-    s.add_argument("--max-punct-ratio", type=float, default=0.3)
-    s.add_argument("--min-est-jaccard", type=float, default=0.5)
+    s.add_argument("--config", help="YAML/JSON with a corpus.clean section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--text-col", dest="text_col")
+    s.add_argument("--min-tokens", dest="min_tokens", type=int)
+    s.add_argument("--max-punct-ratio", dest="max_punct_ratio", type=float)
+    s.add_argument("--min-est-jaccard", dest="min_est_jaccard", type=float)
     s.set_defaults(fn=cmd_corpus_clean)
 
     s = sub.add_parser("corpus-sample", help="deterministic hash sampling (rate/strata/quota)")
@@ -491,6 +639,36 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text-col", default="text")
     s.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
     s.set_defaults(fn=cmd_corpus_pack)
+
+    s = sub.add_parser(
+        "corpus-embed-dedup", help="semantic duplicate clusters over an embedding column"
+    )
+    s.add_argument("--table", required=True, help="input parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--config", help="YAML/JSON with a corpus.embed_dedup section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--vec-col", dest="vec_col")
+    s.add_argument("--dim", type=int)
+    s.add_argument("--threshold", type=float)
+    s.add_argument("--n-planes", dest="n_planes", type=int)
+    s.add_argument("--n-bands", dest="n_bands", type=int)
+    s.add_argument("--max-bucket-size", dest="max_bucket_size", type=int)
+    s.set_defaults(fn=cmd_corpus_embed_dedup)
+
+    s = sub.add_parser(
+        "audio-features", help="audio feature + activity-segment sidecars for a clips table"
+    )
+    s.add_argument("--table", required=True, help="clips parquet path")
+    s.add_argument("--out", required=True, help="directory for features/segments parquet")
+    s.add_argument("--config", help="YAML/JSON with a corpus.audio section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--bytes-col", dest="bytes_col")
+    s.add_argument("--codec-col", dest="codec_col")
+    s.add_argument("--sr-col", dest="sr_col")
+    s.add_argument("--threshold-dbfs", dest="threshold_dbfs", type=float)
+    s.add_argument("--max-gap-ms", dest="max_gap_ms", type=int)
+    s.add_argument("--min-dur-ms", dest="min_dur_ms", type=int)
+    s.set_defaults(fn=cmd_audio_features)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
     s.add_argument("--out", required=True)

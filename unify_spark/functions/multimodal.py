@@ -236,6 +236,11 @@ def audio_segments(
                         reason[i] = f"decode error: {e}"
                     continue
                 x = dec.astype(np.float64) / 32768.0
+                if x.shape[1] == 0:
+                    # zero-sample decode: no frames to segment and the
+                    # single-frame fallback would divide by frame_ms=0
+                    reason[np.array(idxs)] = "empty audio (0 samples)"
+                    continue
                 frame = max(sr // 100, 1)
                 frame_ms = 1000.0 * frame / sr
                 nf = x.shape[1] // frame
@@ -351,6 +356,12 @@ def audio_features(
                     continue
                 x = dec.astype(np.float64) / 32768.0
                 ii = np.array(idxs)
+                if x.shape[1] == 0:
+                    # zero-sample decode (empty payload): every reduction
+                    # below is undefined — report instead of crashing the
+                    # batch (fail-at-end, same as a decode error)
+                    out["reason"][ii] = "empty audio (0 samples)"
+                    continue
                 rms = np.sqrt(np.mean(x * x, axis=1))
                 out["rms_db"][ii] = 20.0 * np.log10(np.maximum(rms, 1e-10))
                 out["peak"][ii] = np.abs(x).max(axis=1)

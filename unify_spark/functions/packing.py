@@ -170,6 +170,7 @@ def pack_chunks_grouped(
     tokens_col: str,
     budget: int,
     group_col: str,
+    big_groups: list | None = None,
 ) -> DataFrame:
     """Per-group concat-and-chunk: an independent chunk stream per
     ``group_col`` value (domain/language/source — pretraining mixes often
@@ -179,19 +180,40 @@ def pack_chunks_grouped(
     Scale shape: unlike the GLOBAL prefix sum (which needs the two-phase
     scan in ``pack_chunks``), the grouped form is a plain
     ``Window.partitionBy(group).orderBy(id)`` — one hash shuffle on the
-    group key, each group's cumsum runs inside its partition. Skew note: a
-    group's whole slim (id, n_tokens) stream lands in one task; for a
-    dominant group at 10^10 docs, fall back to ``pack_chunks`` per group
-    or sub-shard the giant group. Null token counts count as 0; ``id_col``
-    must be unique within a group (same tie contract as pack_chunks)."""
+    group key, each group's cumsum runs inside its partition. Skew escape:
+    a group's whole slim (id, n_tokens) stream lands in ONE window task, so
+    for dominant groups (the 40%-English corpus at 10^10 docs) list them in
+    ``big_groups``: each runs through the partition-parallel two-phase
+    ``pack_chunks`` scan instead (identical numbers — the global form
+    restricted to one group IS the grouped form), and only the long tail of
+    small groups takes the window path. Null token counts count as 0;
+    ``id_col`` must be unique within a group (same tie contract as
+    pack_chunks)."""
     from pyspark.sql import Window
+
+    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+
+    big = list(big_groups or [])
+    if big:
+        rest = pack_chunks_grouped(
+            df.where(~F.col(group_col).isin(big)), id_col, tokens_col, budget, group_col
+        )
+        parts = [rest]
+        for g in big:
+            one = pack_chunks(
+                df.where(F.col(group_col) == F.lit(g)), id_col, tokens_col, budget
+            ).withColumn(group_col, F.lit(g))
+            parts.append(one.select(*rest.columns))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     before = F.coalesce(F.sum(n).over(w), F.lit(0))
     return df.select(
         F.col(id_col),

@@ -82,6 +82,8 @@ def take_per_stratum(
     strata_col: str,
     n: int,
     salt: str = "",
+    strata_counts: dict[str, int] | None = None,
+    oversample: float = 3.0,
 ) -> DataFrame:
     """EXACT-count deterministic sampling: the ``n`` rows per stratum whose
     id-hash is smallest ("take 10k docs per language"). Rate-based sampling
@@ -91,11 +93,32 @@ def take_per_stratum(
 
     Plan shape: one shuffle on the stratum key + a row_number window over
     the md5 order — the window input is whatever ``df`` carries, so project
-    first if rows are wide. A stratum's rows land in one partition; for
-    strata above ~10^8 rows use hash_keep with an estimated rate to
-    pre-thin before the exact window (two-phase quota), same as the
-    uniqueness constraint's two-phase shape."""
+    first if rows are wide. A stratum's rows land in ONE window task, so
+    for giant strata pass ``strata_counts`` ({stratum value: approximate
+    row count}, e.g. from a prior profile pass or HLL sketch): strata whose
+    count exceeds ``10 * oversample * n`` are PRE-THINNED with the
+    ``hash_keep`` predicate at rate oversample*n/count before the window.
+
+    The two-phase form is EXACT, not approximate: hash_keep keeps rows with
+    md5-prefix under a threshold — a strict PREFIX of the very hash order
+    the window ranks by — so the pre-filter can never evict a true top-n
+    row as long as it keeps ≥ n rows, which the ``oversample`` margin
+    guarantees to ~sqrt(n) fluctuation (at n=10^4 a 3x margin is ~200
+    sigma). The pre-filter is a pure Column predicate evaluated BEFORE the
+    shuffle, so a 10^10-row dominant stratum ships ~3n slim rows to its
+    window task instead of 10^10."""
     from pyspark.sql import Window
+
+    if strata_counts:
+        keep = F.lit(True)
+        s = F.col(strata_col).cast("string")
+        for value, count in sorted(strata_counts.items()):
+            if count > 10 * oversample * n:
+                rate = min(1.0, oversample * n / count)
+                keep = F.when(
+                    s == F.lit(str(value)), hash_keep(id_col, rate, salt)
+                ).otherwise(keep)
+        df = df.where(keep)
 
     c = F.col(id_col).cast("string")
     h = F.md5(F.concat(c, F.lit(salt)))

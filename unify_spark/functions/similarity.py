@@ -109,6 +109,42 @@ def _stack_valid(values, dim: int):
     return np.stack([np.asarray(values[i], dtype=np.float64) for i in np.flatnonzero(mask)]), mask
 
 
+def _stack(values, dim: int, validated: bool):
+    """``_stack_valid`` or its gated fast path: when the caller certifies
+    the vectors already passed the VectorConstraint contract
+    (``validated=True`` — see ``validated_vectors``), skip the per-row
+    null/ragged mask and stack the batch directly; mask None means keep
+    every row."""
+    if not validated:
+        return _stack_valid(values, dim)
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in values]), None
+
+
+def validated_vectors(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_norm: bool = True,
+):
+    """Compose the VectorConstraint embedding contract as the documented
+    pre-gate of the ANN entry points: returns ``(clean, violations)`` where
+    ``clean`` rows satisfy non-null / dim / no-null-element / finite /
+    nonzero-norm — exactly the invariants the Arrow stages assume — and
+    ``violations`` is the standard violation frame for the audit sink.
+    Downstream calls then pass ``validated=True`` to skip the per-batch
+    masking (one pure-Column screen instead of N per-row Python checks)."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import VectorConstraint
+
+    c = VectorConstraint("vectors", vec_col, dim=dim, check_norm=check_norm)
+    clean = df.filter(c._reason().isNull())
+    vios = c.violations({"vectors": df}, ValidationContext())
+    return clean, vios
+
+
 def _hyperplane_matrix(dim: int, n_planes: int):
     """dim × n_planes hyperplane matrix (deterministic; ships in the UDF
     closure — a few KB — instead of n_planes × dim literal expression trees)."""
@@ -126,6 +162,7 @@ def lsh_band_signatures(
     vec_col: str = "embedding",
     out_id: str = "id",
     out_vec: str = "v",
+    validated: bool = False,
 ) -> DataFrame:
     """Banded random-hyperplane signatures, one row per (vector, band).
 
@@ -155,10 +192,11 @@ def lsh_band_signatures(
         for pdf in batches:
             if pdf.empty:
                 continue
-            V, mask = _stack_valid(pdf[out_vec].to_numpy(), dim)
+            V, mask = _stack(pdf[out_vec].to_numpy(), dim, validated)
             if V is None:
                 continue
-            pdf = pdf[mask]
+            if mask is not None:
+                pdf = pdf[mask]
             bits = (V @ H) >= 0.0  # n × n_planes
             sigs = np.stack(
                 [bits[:, b * ppb : (b + 1) * ppb].astype(np.int64) @ weights for b in range(n_bands)],
@@ -178,6 +216,7 @@ def ivf_train_centroids(
     n_cells: int = 16,
     iters: int = 2,
     vec_col: str = "embedding",
+    validated: bool = False,
 ):
     """Deterministic IVF coarse quantizer: spherical k-means over the
     (L2-normalized) vectors, initialized from the seeded hyperplane
@@ -203,7 +242,7 @@ def ivf_train_centroids(
             for pdf in batches:
                 if pdf.empty:
                     continue
-                V, _ = _stack_valid(pdf["v"].to_numpy(), dim)
+                V, _ = _stack(pdf["v"].to_numpy(), dim, validated)
                 if V is None:
                     continue
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
@@ -283,6 +322,7 @@ def ivf_assign(
     out_id: str = "id",
     out_vec: str = "v",
     n_probe: int = 1,
+    validated: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid cells (one row
     per (vector, probed cell)); numpy matmul per Arrow batch. n_probe=1 for
@@ -301,10 +341,11 @@ def ivf_assign(
         for pdf in batches:
             if pdf.empty:
                 continue
-            V, mask = _stack_valid(pdf[out_vec].to_numpy(), C.shape[1])
+            V, mask = _stack(pdf[out_vec].to_numpy(), C.shape[1], validated)
             if V is None:
                 continue
-            pdf = pdf[mask]
+            if mask is not None:
+                pdf = pdf[mask]
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = Vn @ C.T
             top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
@@ -327,6 +368,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    validated: bool = False,
 ) -> DataFrame:
     """IVF approximate NN — the second scale path next to hyperplane LSH:
     a coarse quantizer routes vectors to cells, queries probe their
@@ -341,9 +383,11 @@ def ivf_ann_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = ivf_train_centroids(df, dim, n_cells, iters, vec_col)
-    base = ivf_assign(df, centroids, id_col, vec_col, "id_b", "vb", n_probe=1)
-    qs = ivf_assign(queries, centroids, id_col, vec_col, "id_q", "vq", n_probe=n_probe)
+        centroids = ivf_train_centroids(df, dim, n_cells, iters, vec_col, validated=validated)
+    base = ivf_assign(df, centroids, id_col, vec_col, "id_b", "vb", n_probe=1, validated=validated)
+    qs = ivf_assign(
+        queries, centroids, id_col, vec_col, "id_q", "vq", n_probe=n_probe, validated=validated
+    )
     joined = base.join(F.broadcast(qs), on="cell").where(
         F.col("id_b") != F.col("id_q")
     )
@@ -365,6 +409,7 @@ def lsh_ann_topk(
     n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validated: bool = False,
 ) -> DataFrame:
     """Approximate NN: multi-band hyperplane-LSH candidates, exact cosine
     re-rank, per-query top-k.
@@ -382,10 +427,12 @@ def lsh_ann_topk(
         while n_planes % n_bands:
             n_bands -= 1
     base = lsh_band_signatures(
-        df, dim, n_planes, n_bands, id_col, vec_col, out_id="id_b", out_vec="vb"
+        df, dim, n_planes, n_bands, id_col, vec_col,
+        out_id="id_b", out_vec="vb", validated=validated,
     )
     qs = lsh_band_signatures(
-        queries, dim, n_planes, n_bands, id_col, vec_col, out_id="id_q", out_vec="vq"
+        queries, dim, n_planes, n_bands, id_col, vec_col,
+        out_id="id_q", out_vec="vq", validated=validated,
     )
     joined = (
         base.join(F.broadcast(qs), on=["band", "sig"])

@@ -226,3 +226,73 @@ def load_tables(spark: SparkSession, cfg: SuiteConfig) -> dict[str, DataFrame]:
     from unify_spark.sources import read_table
 
     return {name: read_table(spark, p) for name, p in cfg.tables.items()}
+
+
+# ---------------------------------------------------------------------------
+# corpus-pipeline config — the knob surface for the LLM-data operators, so
+# semantic dedup / quality cleaning / audio feature extraction run from a
+# config file with zero Python (same zero-code contract as the constraint
+# suite above). A ``corpus:`` section coexists with ``tables:``/
+# ``constraints:`` in one file, or stands alone:
+#
+#     corpus:
+#       clean:        {id_col: doc_id, text_col: text, min_tokens: 5,
+#                      max_punct_ratio: 0.3, min_est_jaccard: 0.8}
+#       embed_dedup:  {id_col: vec_id, vec_col: embedding, dim: 64,
+#                      threshold: 0.95, n_planes: 100, n_bands: 10,
+#                      max_bucket_size: 100000}
+#       audio:        {id_col: clip_id, bytes_col: bytes, codec_col: codec,
+#                      sr_col: sr_hz, threshold_dbfs: -40.0,
+#                      max_gap_ms: 100, min_dur_ms: 60}
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CorpusConfig:
+    clean: dict = field(default_factory=dict)
+    embed_dedup: dict = field(default_factory=dict)
+    audio: dict = field(default_factory=dict)
+    raw: dict = field(default_factory=dict)
+
+
+_CORPUS_KEYS = {
+    "clean": {"id_col", "text_col", "min_tokens", "max_punct_ratio", "min_est_jaccard"},
+    "embed_dedup": {
+        "id_col", "vec_col", "dim", "threshold", "n_planes", "n_bands",
+        "max_bucket_size",
+    },
+    "audio": {
+        "id_col", "bytes_col", "codec_col", "sr_col", "threshold_dbfs",
+        "max_gap_ms", "min_dur_ms",
+    },
+}
+
+
+def parse_corpus_config(doc: dict) -> CorpusConfig:
+    """Validate and extract the ``corpus:`` section; unknown keys inside a
+    sub-section are an error (a typo'd knob silently falling back to a
+    default is exactly the config bug a validation engine must not have)."""
+    section = dict(doc.get("corpus", {}))
+    out: dict[str, dict] = {}
+    for name, allowed in _CORPUS_KEYS.items():
+        sub = dict(section.get(name, {}))
+        unknown = set(sub) - allowed
+        if unknown:
+            raise ValueError(
+                f"corpus.{name}: unknown keys {sorted(unknown)}; allowed: {sorted(allowed)}"
+            )
+        out[name] = sub
+    return CorpusConfig(raw=doc, **out)
+
+
+def load_corpus_config(path: str) -> CorpusConfig:
+    """Load the corpus section of a YAML/JSON config file."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        doc = yaml.safe_load(text)
+    else:
+        doc = json.loads(text)
+    return parse_corpus_config(doc)
