@@ -223,6 +223,23 @@ third point (it saturates the host and is the headline throughput).
 (best-of-reps on both sides; {extra_rounds} extra noise-rejection round(s) —
 see bench.py main() for the shared-host contention rationale)
 
+### On the informational local[{CPUS}] point's round-to-round variance
+
+Profiled with UNIFY_TIMING (phase breakdown): >90% of suite wall is the
+single fused job (`fused_count`); setup/stats/sink phases are constant.
+Back-to-back local[{CPUS}] reps of that identical job on an idle-looking
+host have measured 125k -> 164k clips/s (+/-15-30%), and local[16] beats
+local[{CPUS}] outright — the expected shape when every mapInPandas task
+occupies a JVM thread AND an Arrow-connected Python worker (~1.3+ cores per
+task), so local[{CPUS}] on a {os.cpu_count()}-core host measures
+oversubscription plus whatever the neighbors are doing. This is why the
+host point is informational-only and the official N/4N pair sits at
+local[{BENCH_N}]/local[{BENCH_4N}], where both tiers still have physical
+cores. A round-to-round swing at the host point (e.g. 126k -> 96k in an
+earlier round) reflects host contention in that measurement window, not a
+plan change: per-query headline walls and the official N/4N pair moved the
+other direction in the same round.
+
 ## Headline queries at {SF_DIR} (local[{CPUS}])
 
 | query | sec |
