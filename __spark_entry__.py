@@ -211,7 +211,9 @@ def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document quality features (length/punct/stopword ratios)."""
+    """Per-document quality features: length/punct/stopword ratios plus
+    the Gopher-style repetition signals (repeated-token and repeated-
+    3-gram fractions — the boilerplate/keyword-stuffing gates)."""
     docs = _t(spark, sf, "documents")
     feats = text.quality_features("text")
     return docs.select(
@@ -219,6 +221,8 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
         feats["n_tokens"].alias("n_tokens"),
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["token_repetition_ratio"], 6).alias("tok_rep_ratio"),
+        F.round(feats["trigram_repetition_ratio"], 6).alias("tri_rep_ratio"),
     )
 
 
@@ -1054,14 +1058,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_quality": rf"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(t) AS n_tokens,
                    ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                          / greatest(length(text), 1), 6) AS punct_ratio,
-                   ROUND(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                         x -> lower(x) IN ({_STOP_EN})))
-                         / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
-                       AS stopword_ratio
-            FROM documents
+                   ROUND(len(list_filter(t, x -> lower(x) IN ({_STOP_EN})))
+                         / greatest(len(t), 1), 6) AS stopword_ratio,
+                   ROUND(CASE WHEN len(t) > 0
+                     THEN 1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                     ELSE 0 END, 6) AS tok_rep_ratio,
+                   ROUND(CASE WHEN len(t) >= 3
+                     THEN 1 - len(list_distinct(list_transform(
+                            generate_series(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+2], ' '))))
+                          / CAST(len(t) - 2 AS DOUBLE)
+                     ELSE 0 END, 6) AS tri_rep_ratio
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents)
         """,
         "q_text_fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -128,6 +128,56 @@ def test_validated_vectors_pre_gate_composes_with_ann(spark):
         assert fast == slow and len(fast) > 0
 
 
+def test_clean_corpus_repetition_gate(spark):
+    """max_tok_rep_ratio screens boilerplate: a spam doc passes the token
+    floor and punct cap but dies on the repetition gate; None disables."""
+    from unify_spark.functions.pipeline import clean_corpus
+
+    rows = [
+        (1, " ".join(f"tok{i}" for i in range(20))),       # diverse
+        (2, "buy now " * 10),                              # 20 tokens, 2 distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, rep = clean_corpus(df, min_tokens=5, max_tok_rep_ratio=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    kept.unpersist()
+    assert ids == {1} and rep.removed_quality == 1
+
+    kept2, rep2 = clean_corpus(df, min_tokens=5)  # gate off by default
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    kept2.unpersist()
+    assert ids2 == {1, 2} and rep2.removed_quality == 0
+
+
+def test_quality_repetition_signals(spark):
+    """Gopher-style repetition metrics: a degenerate repeated doc scores
+    high on both token and trigram repetition; a diverse doc scores 0;
+    short docs don't crash the windowed trigram construction."""
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # fully repeated
+        (1, "one two three four five six"),            # all distinct
+        (2, "a b a b a b a b"),                        # repeated 2-cycle
+        (3, "hi"),                                     # < 3 tokens
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = text.quality_features("text")
+    got = {
+        r["doc_id"]: (r["tok"], r["tri"])
+        for r in df.select(
+            "doc_id",
+            F.round(feats["token_repetition_ratio"], 4).alias("tok"),
+            F.round(feats["trigram_repetition_ratio"], 4).alias("tri"),
+        ).collect()
+    }
+    assert got[0] == (round(1 - 1 / 6, 4), 0.75)   # one distinct token; 1 distinct of 4 trigrams
+    assert got[1] == (0.0, 0.0)
+    assert got[2][0] == 0.75                        # 2 distinct of 8
+    assert got[2][1] == round(1 - 2 / 6, 4)         # 'a b a'/'b a b' alternate
+    assert got[3] == (0.0, 0.0)                     # guard: no descending sequence
+    assert got[4] is not None  # null text must not crash
+
+
 def test_lang_id(spark):
     rows = [
         (0, "the cat and the dog of a house that is in town"),

@@ -297,17 +297,20 @@ def cmd_corpus_clean(args) -> int:
             "text_col": "text",
             "min_tokens": 5,
             "max_punct_ratio": 0.3,
+            "max_tok_rep_ratio": None,
             "min_est_jaccard": 0.5,
         },
     )
     spark = get_spark("unify-corpus-clean")
     df = read_table(spark, args.table)
+    rep = knobs["max_tok_rep_ratio"]
     kept, report = clean_corpus(
         df,
         id_col=knobs["id_col"],
         text_col=knobs["text_col"],
         min_tokens=int(knobs["min_tokens"]),
         max_punct_ratio=float(knobs["max_punct_ratio"]),
+        max_tok_rep_ratio=None if rep is None else float(rep),
         min_est_jaccard=float(knobs["min_est_jaccard"]),
     )
     kept.write.mode("overwrite").parquet(args.out)
@@ -615,6 +618,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text-col", dest="text_col")
     s.add_argument("--min-tokens", dest="min_tokens", type=int)
     s.add_argument("--max-punct-ratio", dest="max_punct_ratio", type=float)
+    s.add_argument("--max-tok-rep-ratio", dest="max_tok_rep_ratio", type=float)
     s.add_argument("--min-est-jaccard", dest="min_est_jaccard", type=float)
     s.set_defaults(fn=cmd_corpus_clean)
 

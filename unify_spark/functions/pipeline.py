@@ -42,6 +42,7 @@ def clean_corpus(
     text_col: str = "text",
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
+    max_tok_rep_ratio: float | None = None,
     min_est_jaccard: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
@@ -49,8 +50,10 @@ def clean_corpus(
 ) -> tuple[DataFrame, CleanReport]:
     """Quality-gate, dedup, and canonicalize a document corpus.
 
-    1. quality gate: token floor + punctuation-ratio cap (pure Column
-       expressions, fold into the scan);
+    1. quality gate: token floor + punctuation-ratio cap + optional
+       Gopher-style repeated-token-fraction cap (``max_tok_rep_ratio`` —
+       boilerplate/keyword-stuffing screen; pure Column expressions, fold
+       into the scan);
     2. near-duplicate clustering: minhash-LSH candidates filtered by
        estimated Jaccard → connected components (exact duplicates land in
        the same cluster automatically — identical docs agree on every
@@ -75,6 +78,9 @@ def clean_corpus(
         & (F.col("_n_tokens") >= min_tokens)
         & (F.col("_punct") <= max_punct_ratio)
     )
+    if max_tok_rep_ratio is not None:
+        scored = scored.withColumn("_tok_rep", feats["token_repetition_ratio"])
+        good_cond = good_cond & (F.col("_tok_rep") <= max_tok_rep_ratio)
     # one scan for both counters (was two separate jobs)
     counts = scored.agg(
         F.count(F.lit(1)).alias("n_input"),
@@ -97,7 +103,7 @@ def clean_corpus(
         clusters,
         id_col=id_col,
         prefer="quality_score",
-    ).drop("_n_tokens", "_punct", "cluster")
+    ).drop("_n_tokens", "_punct", "_tok_rep", "cluster")
 
     # persist BEFORE the count: the report counter and the caller's
     # write/collect share one computation of the whole dedup pipeline

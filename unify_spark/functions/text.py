@@ -133,18 +133,38 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
-    """Length / punctuation / stopword-ratio quality signals."""
+    """Length / punctuation / stopword-ratio quality signals, plus the
+    Gopher-style repetition signals (Rae et al. 2021 §A1.1): the fraction
+    of repeated tokens and of repeated token-3-grams — boilerplate, keyword
+    stuffing, and degenerate generations score high on both. All pure
+    Column expressions (higher-order functions, JVM-side)."""
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c)
     toks = tokens(col)
     n_tokens = F.size(toks)
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    n3 = n_tokens - 2
+    tris = F.transform(
+        F.sequence(F.lit(1), n3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "mean_token_len": (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)),
         "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
         "stopword_ratio": stopword_ratio(col, LANG_STOPWORDS["en"]),
+        "token_repetition_ratio": F.when(
+            n_tokens > 0,
+            1.0 - F.size(F.array_distinct(toks)) / n_tokens.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        # guard n_tokens >= 3: F.sequence(1, n) DESCENDS when n < 1
+        "trigram_repetition_ratio": F.when(
+            n_tokens >= 3,
+            1.0 - F.size(F.array_distinct(tris)) / n3.cast("double"),
+        ).otherwise(F.lit(0.0)),
     }
 
 
