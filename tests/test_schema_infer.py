@@ -82,3 +82,117 @@ def test_uid_helpers(spark):
     assert row["uid"] == "ds1|:~s1|:~m1"
     assert row["cid"] == "s1-m1"
     assert row["huid"].startswith("ds1|:~") and len(row["huid"]) == len("ds1|:~") + 32
+
+
+def test_metamodel_diff_changes_and_severities():
+    """Schema-evolution diff: every change class detected with the
+    documented breaking/compatible convention (breaking = data valid under
+    OLD can be invalid or misread under NEW)."""
+    from unify_spark.schema.diff import diff_metamodels, diff_report
+    from unify_spark.schema.model import AttributeSpec, KindSchema, Metamodel
+
+    old = Metamodel(kinds={
+        "clips": KindSchema(kind="clips", id_attr="clip_id", attributes=[
+            AttributeSpec("clip_id", "string", required=True, unique=True),
+            AttributeSpec("codec", "string", enum_domain=["wav", "flac"]),
+            AttributeSpec("dur_ms", "int"),
+            AttributeSpec("note", "string"),
+            AttributeSpec("tags", "string", cardinality="many"),
+            AttributeSpec("loose", "string", required=True),
+        ]),
+        "gone": KindSchema(kind="gone", attributes=[AttributeSpec("x", "int")]),
+    })
+    new = Metamodel(kinds={
+        "clips": KindSchema(kind="clips", id_attr="clip_id", attributes=[
+            AttributeSpec("clip_id", "string", required=True, unique=True),
+            AttributeSpec("codec", "string", enum_domain=["wav"]),          # narrowed
+            AttributeSpec("dur_ms", "long"),                                # type change
+            AttributeSpec("tags", "string", cardinality="one"),             # card change
+            AttributeSpec("loose", "string", required=False),               # loosened
+            AttributeSpec("lang", "string"),                                # added optional
+            AttributeSpec("sr_hz", "int", required=True),                   # added required
+        ]),
+        "fresh": KindSchema(kind="fresh", attributes=[AttributeSpec("y", "int")]),
+    })
+    changes = diff_metamodels(old, new)
+    by = {(c.kind, c.attr, c.change): c.severity for c in changes}
+    assert by[("gone", None, "kind_removed")] == "breaking"
+    assert by[("fresh", None, "kind_added")] == "compatible"
+    assert by[("clips", "note", "attr_removed")] == "breaking"
+    assert by[("clips", "lang", "attr_added")] == "compatible"
+    assert by[("clips", "sr_hz", "attr_added_required")] == "breaking"
+    assert by[("clips", "dur_ms", "type_changed")] == "breaking"
+    assert by[("clips", "tags", "cardinality_changed")] == "breaking"
+    assert by[("clips", "loose", "required_loosened")] == "compatible"
+    assert by[("clips", "codec", "enum_narrowed")] == "breaking"
+    assert len(changes) == 9
+
+    rep = diff_report(changes)
+    assert rep["n_changes"] == 9 and rep["n_breaking"] == 6
+    # breaking changes sort first for the audit/CI reader
+    sevs = [c["severity"] for c in rep["changes"]]
+    assert sevs == sorted(sevs, key=lambda s: s != "breaking")
+
+    # identical metamodels: empty diff
+    assert diff_metamodels(new, new) == []
+
+
+def test_cli_schema_diff_gate(tmp_path, capsys):
+    """CI gate shape: schema-diff prints the report and --fail-on-breaking
+    exits non-zero exactly when a breaking change exists."""
+    import json as _json
+
+    from unify_spark import cli
+    from unify_spark.schema.model import AttributeSpec, KindSchema, Metamodel
+
+    old = Metamodel(kinds={"t": KindSchema(kind="t", attributes=[
+        AttributeSpec("a", "string"), AttributeSpec("b", "int")])})
+    new = Metamodel(kinds={"t": KindSchema(kind="t", attributes=[
+        AttributeSpec("a", "string")])})  # b removed -> breaking
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(old.to_json()); pn.write_text(new.to_json())
+
+    rc = cli.main(["schema-diff", "--old", str(po), "--new", str(pn)])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["n_breaking"] == 1
+    assert rep["changes"][0]["change"] == "attr_removed"
+
+    rc2 = cli.main(["schema-diff", "--old", str(po), "--new", str(pn), "--fail-on-breaking"])
+    capsys.readouterr()
+    assert rc2 == 1
+
+    rc3 = cli.main(["schema-diff", "--old", str(po), "--new", str(po), "--fail-on-breaking"])
+    rep3 = _json.loads(capsys.readouterr().out)
+    assert rc3 == 0 and rep3["n_changes"] == 0
+
+
+def test_cli_infer_schema_baseline_drift(spark, tmp_path, capsys):
+    """infer-schema --baseline prints the schema-drift report against a
+    stored metamodel — one command for the inference + evolution gate."""
+    import json as _json
+
+    from unify_spark import cli
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id int, name string, v double"
+    ).write.parquet(src)
+
+    mm_path = str(tmp_path / "mm.json")
+    rc = cli.main(["infer-schema", "--tables", f"t={src}", "--out", mm_path])
+    capsys.readouterr()
+    assert rc == 0
+
+    # evolve the table: drop a column, add one
+    src2 = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, 1.0, "x"), (2, 2.0, "y")], "id int, v double, extra string"
+    ).write.parquet(src2)
+    rc2 = cli.main(["infer-schema", "--tables", f"t={src2}", "--out",
+                    str(tmp_path / "mm2.json"), "--baseline", mm_path])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rc2 == 0
+    got = {(c["change"], c["attr"]) for c in rep["changes"]}
+    assert ("attr_removed", "name") in got
+    assert any(ch.startswith("attr_added") and a == "extra" for ch, a in got)
+    assert rep["n_breaking"] >= 1

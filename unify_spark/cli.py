@@ -45,6 +45,15 @@ def cmd_infer_schema(args) -> int:
             f.write(out)
     else:
         print(out)
+    if getattr(args, "baseline", None):
+        # schema drift vs the metamodel a prior run validated against —
+        # the metadata sibling of the `validate --baseline` histogram drift
+        from unify_spark.schema.diff import diff_json
+
+        with open(args.baseline) as f:
+            report = diff_json(f.read(), out)
+        report["baseline"] = args.baseline
+        print(json.dumps(report, indent=2, sort_keys=True))
     return 0
 
 
@@ -418,6 +427,21 @@ def _with_config(args, section: str, defaults: dict) -> dict:
     return out
 
 
+def cmd_schema_diff(args) -> int:
+    """Schema-evolution drift between two metamodel JSONs (e.g. the one a
+    pipeline was validated against vs one freshly inferred): prints the
+    change list with breaking/compatible severities; --fail-on-breaking
+    turns a breaking change into a non-zero exit for CI gates. Driver-side
+    metadata comparison — no Spark session."""
+    from unify_spark.schema.diff import main_diff_files
+
+    report = main_diff_files(args.old, args.new)
+    print(json.dumps(report, indent=2, sort_keys=True))
+    if args.fail_on_breaking and report["n_breaking"] > 0:
+        return 1
+    return 0
+
+
 def cmd_corpus_embed_dedup(args) -> int:
     """Semantic (embedding-space) duplicate clustering from the CLI:
     banded hyperplane LSH candidates → exact cosine → pointer-doubling
@@ -551,6 +575,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("infer-schema", help="profile tables and emit a metamodel JSON")
     s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
     s.add_argument("--out")
+    s.add_argument("--baseline", help="prior metamodel JSON: also print the schema drift report")
     s.set_defaults(fn=cmd_infer_schema)
 
     s = sub.add_parser("infer-json-schema", help="emit JSON Schema per kind")
@@ -643,6 +668,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text-col", default="text")
     s.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
     s.set_defaults(fn=cmd_corpus_pack)
+
+    s = sub.add_parser(
+        "schema-diff", help="schema-evolution drift between two metamodel JSONs"
+    )
+    s.add_argument("--old", required=True, help="baseline metamodel JSON path")
+    s.add_argument("--new", required=True, help="candidate metamodel JSON path")
+    s.add_argument("--fail-on-breaking", action="store_true")
+    s.set_defaults(fn=cmd_schema_diff)
 
     s = sub.add_parser(
         "corpus-embed-dedup", help="semantic duplicate clusters over an embedding column"
