@@ -128,6 +128,37 @@ def test_validated_vectors_pre_gate_composes_with_ann(spark):
         assert fast == slow and len(fast) > 0
 
 
+def test_decontaminate_flags_benchmark_leakage(spark):
+    """Test-set leakage screen: a corpus doc quoting 8+ consecutive tokens
+    of a benchmark item is flagged against THAT item with the right shared
+    count; clean docs are not flagged; min_overlap filters grazes."""
+    bench_q = "what is the capital of france and when was it founded exactly"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text " + bench_q + " trailing commentary"),   # leaked
+            (2, " ".join(f"w{i}" for i in range(30))),               # clean
+            (3, "what is the capital of spain and when was it built"),  # near-miss
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_q)], ["qid", "question"])
+    out = dedup.decontaminate(
+        corpus, bench, "doc_id", "text",
+        bench_id_col="qid", bench_text_col="question", n=8,
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r for r in out.collect()}
+    assert set(rows) == {(1, 100)}
+    # the 12-token question has 5 distinct 8-grams, all present in doc 1
+    assert rows[(1, 100)]["n_shared"] == 5
+    assert 0 < rows[(1, 100)]["contamination"] <= 1
+    # min_overlap above the shared-gram count clears the flag
+    strict = dedup.decontaminate(
+        corpus, bench, "doc_id", "text",
+        bench_id_col="qid", bench_text_col="question", n=8, min_overlap=6,
+    )
+    assert strict.count() == 0
+
+
 def test_clean_corpus_repetition_gate(spark):
     """max_tok_rep_ratio screens boilerplate: a spam doc passes the token
     floor and punct cap but dies on the repetition gate; None disables."""

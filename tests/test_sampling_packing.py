@@ -352,6 +352,32 @@ def test_cli_corpus_clean(spark, tmp_path, capsys):
     assert kept == {2, 4}  # doc 2 wins its cluster (more tokens than doc 1)
 
 
+def test_cli_corpus_decontaminate(spark, tmp_path, capsys):
+    """Leakage screen from the CLI: a corpus doc quoting a benchmark item
+    is flagged and written; summary JSON counts pairs and distinct docs."""
+    import json
+
+    from unify_spark import cli
+
+    q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = str(tmp_path / "corpus")
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, "prefix " + q), (2, "totally unrelated words here for filler")],
+        ["doc_id", "text"],
+    ).write.parquet(corpus)
+    spark.createDataFrame([(9, q)], ["doc_id", "text"]).write.parquet(bench)
+
+    out = str(tmp_path / "flags")
+    rc = cli.main(["corpus-decontaminate", "--table", corpus, "--benchmark", bench,
+                   "--out", out, "--ngram", "8"])
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0 and r["n_pairs"] == 1 and r["n_docs_flagged"] == 1
+    row = spark.read.parquet(out).first()
+    assert row["doc_id"] == 1 and row["bench_id"] == 9
+
+
 def test_cli_audio_features_sidecars(spark, tmp_path, capsys):
     """The multimodal family end-to-end from the CLI: feature + activity-
     segment sidecars written for the fixture clips, knobs honored from a

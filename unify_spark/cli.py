@@ -500,6 +500,48 @@ def cmd_corpus_embed_dedup(args) -> int:
     return 0
 
 
+def cmd_corpus_decontaminate(args) -> int:
+    """Test-set leakage screen: flag corpus docs sharing >= min-overlap
+    token n-grams with any benchmark doc (functions/dedup.py decontaminate);
+    writes the flagged (doc_id, bench_id, n_shared, contamination) pairs."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.dedup import decontaminate
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-decontaminate")
+    corpus = read_table(spark, args.table)
+    bench = read_table(spark, args.benchmark)
+    out = decontaminate(
+        corpus,
+        bench,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        bench_id_col=args.bench_id_col,
+        bench_text_col=args.bench_text_col,
+        n=args.ngram,
+        min_overlap=args.min_overlap,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    flags = spark.read.parquet(args.out)
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs_flagged"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_pairs": row["n_pairs"],
+                "n_docs_flagged": row["n_docs_flagged"],
+                "ngram": args.ngram,
+                "min_overlap": args.min_overlap,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_audio_features(args) -> int:
     """Audio feature + activity-segment sidecars from the CLI: decode every
     clip once per sidecar in Arrow-vectorized groups and write
@@ -691,6 +733,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--n-bands", dest="n_bands", type=int)
     s.add_argument("--max-bucket-size", dest="max_bucket_size", type=int)
     s.set_defaults(fn=cmd_corpus_embed_dedup)
+
+    s = sub.add_parser(
+        "corpus-decontaminate", help="flag corpus docs overlapping a benchmark/eval set"
+    )
+    s.add_argument("--table", required=True, help="corpus parquet path")
+    s.add_argument("--benchmark", required=True, help="benchmark/eval parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--id-col", dest="id_col", default="doc_id")
+    s.add_argument("--text-col", dest="text_col", default="text")
+    s.add_argument("--bench-id-col", dest="bench_id_col")
+    s.add_argument("--bench-text-col", dest="bench_text_col")
+    s.add_argument("--ngram", type=int, default=8)
+    s.add_argument("--min-overlap", dest="min_overlap", type=int, default=1)
+    s.set_defaults(fn=cmd_corpus_decontaminate)
 
     s = sub.add_parser(
         "audio-features", help="audio feature + activity-segment sidecars for a clips table"

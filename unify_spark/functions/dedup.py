@@ -353,6 +353,57 @@ def ngram_containment_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_shingle_freq: int | None = 10000,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` token ``n``-grams with any benchmark/eval document —
+    the standard test-set-leakage screen (GPT-3 appendix C / PaLM use
+    8-13-gram overlap; default n=8). Returns one row per contaminated
+    (corpus doc, benchmark doc) pair: (doc_id, bench_id, n_shared,
+    contamination = n_shared / corpus-doc shingle count).
+
+    Scale shape — the asymmetric sibling of ngram_jaccard_pairs' self-join:
+    shingles explode on BOTH sides, the (usually tiny) benchmark side joins
+    the corpus side on the shingle. The benchmark's distinct shingle set is
+    the natural broadcast candidate at real scale (thousands of eval docs
+    vs 10^10 corpus docs); the hot-shingle cap drops boilerplate grams that
+    contribute candidates quadratically but no leakage signal. Drop flagged
+    ids with a left_anti join on doc_id."""
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    src = _ensure_parallel(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    bench_sh = benchmark.select(
+        F.col(bid).alias("bench_id"), F.explode(shingles(btx, n)).alias("s")
+    )
+    hits = (
+        sh.join(bench_sh, on="s")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return (
+        hits.join(sizes, on="id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "bench_id",
+            "n_shared",
+            (F.col("n_shared") / F.col("sz")).alias("contamination"),
+        )
+    )
+
+
 def winnow_candidates(
     df: DataFrame,
     id_col: str,
