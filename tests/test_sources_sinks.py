@@ -130,3 +130,44 @@ def test_upload_matrix_files_copies_tree(tmp_path):
     assert (dest / "m1.tsv").read_text().startswith("a\tb")
     # no matrix dir -> noop (db.matrix/noop analogue)
     assert upload_matrix_files(str(tmp_path / "nowhere"), str(dest)) == []
+
+
+def test_spark_submit_pyfiles_deployment(tmp_path):
+    """The north-rule deployment path: package the engine with
+    scripts/build_pyfiles.sh and run a constraint job via
+    `spark-submit --py-files dist/unify_spark.zip job.py` in a fresh JVM —
+    proves the zip is import-complete (no repo-checkout dependence)."""
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "build_pyfiles.sh")],
+        check=True, capture_output=True,
+    )
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "from unify_spark.operators.base import ValidationContext\n"
+        "from unify_spark.operators.constraints import RangeConstraint\n"
+        "df = spark.createDataFrame([('c1', -5.0), ('c2', 1.0)], ['clip_id', 'val'])\n"
+        "v = RangeConstraint('clips', 'val', min_value=0.0).violations({'clips': df}, ValidationContext())\n"
+        "assert v.count() == 1\n"
+        "print('PYFILES-DEPLOY-OK')\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--py-files", os.path.join(repo, "dist", "unify_spark.zip"), str(job)],
+        capture_output=True, text=True, timeout=240, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PYFILES-DEPLOY-OK" in proc.stdout
