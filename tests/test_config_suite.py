@@ -166,3 +166,20 @@ def test_unknown_constraint_type_rejected():
 def test_empty_constraints_rejected():
     with pytest.raises(ValueError, match="no constraints"):
         parse_suite_config({"tables": {"t": "/x"}, "constraints": []})
+
+
+def test_parse_corpus_config_rejects_malformed():
+    """Empty files and non-mapping sections get clear ValueErrors, not raw
+    AttributeError/TypeError tracebacks."""
+    import pytest
+
+    from unify_spark.plans.config import parse_corpus_config
+
+    assert parse_corpus_config(None).embed_dedup == {}      # empty YAML → None
+    assert parse_corpus_config({}).clean == {}
+    with pytest.raises(ValueError, match="must be a mapping"):
+        parse_corpus_config([1, 2])
+    with pytest.raises(ValueError, match="corpus: must be a mapping"):
+        parse_corpus_config({"corpus": "nope"})
+    with pytest.raises(ValueError, match="corpus.clean: must be a mapping"):
+        parse_corpus_config({"corpus": {"clean": 5}})

@@ -693,3 +693,27 @@ def test_embedding_near_dup_pairs_and_clusters(spark):
     assert clusters[0] == clusters[100] == clusters[101] == 0
     assert clusters[5] == clusters[102] == 5
     assert clusters[7] == 7  # singleton keeps its own id
+
+
+def test_decontaminate_denominator_is_precap_universe(spark):
+    """contamination's denominator is the doc's FULL distinct shingle
+    count even when the hot-shingle cap drops boilerplate grams from the
+    join — the cap can only lower a score, never inflate it."""
+    from pyspark.sql import functions as F
+
+    q = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens, one 8-gram
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_rows = [(i, boiler + f" filler{i}") for i in range(10)]
+    corpus_rows.append((99, boiler + " " + q))  # leaked + boilerplate-heavy
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, q)], ["doc_id", "text"])
+
+    # cap at 5: the boilerplate 8-grams (present in 11 docs) are dropped
+    # from the join, but doc 99's denominator still counts them
+    out = dedup.decontaminate(corpus, bench, "doc_id", "text", n=8,
+                              max_shingle_freq=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 99
+    full_sz = corpus.filter(F.col("doc_id") == 99).select(
+        F.size(F.array_distinct(dedup.shingles(F.col("text"), 8))).alias("sz")
+    ).first()["sz"]
+    assert abs(out[0]["contamination"] - out[0]["n_shared"] / full_sz) < 1e-12

@@ -170,3 +170,30 @@ def test_audio_segments_vad(spark):
     assert got["blip"]["n_segments"] == 0
     assert got["silent"]["segments"] == [] and got["silent"]["speech_ms"] == 0
     assert got["bad"]["reason"].startswith("null bytes")
+
+
+def test_audio_sidecars_single_pass_matches_separate(spark):
+    """The combined one-decode pass must emit exactly what the separate
+    audio_features and audio_segments passes emit (projection equality)."""
+    from unify_spark.fixtures import generate_fixture
+    import tempfile
+
+    from unify_spark.functions.multimodal import (
+        audio_features,
+        audio_segments,
+        audio_sidecars,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        generate_fixture(d, n_rows=1000, n_parts=2)
+        clips = spark.read.parquet(f"{d}/clips")
+        combined = audio_sidecars(clips).persist()
+        feats = audio_features(clips)
+        segs = audio_segments(clips)
+        fc = [c for c in feats.columns]
+        sc = [c for c in segs.columns]
+        assert combined.select(fc).exceptAll(feats).count() == 0
+        assert feats.exceptAll(combined.select(fc)).count() == 0
+        assert combined.select(sc).exceptAll(segs).count() == 0
+        assert segs.exceptAll(combined.select(sc)).count() == 0
+        combined.unpersist()

@@ -140,15 +140,33 @@ def test_take_per_stratum_two_phase_giant_stratum(spark):
     # means it executes before the shuffle)
 
 
+def test_take_per_stratum_two_phase_keeps_null_ids(spark):
+    """A NULL id hashes to NULL, which the single-phase window ranks FIRST
+    (nulls-first sort) — the pre-thin predicate must not drop it, or the
+    two-phase form stops being exact."""
+    rows = [(i, "big") for i in range(50_000)] + [(None, "big")]
+    df = spark.createDataFrame(rows, "event_id long, stratum string")
+    out = sampling.take_per_stratum(
+        df, "event_id", "stratum", 10, strata_counts={"big": 50_000}
+    )
+    got = [r["event_id"] for r in out.collect()]
+    assert len(got) == 10 and None in got  # null-hash row survives and ranks in
+
+
 def test_pack_grouped_big_group_fallback(spark):
     """Routing a dominant group through the partition-parallel pack_chunks
-    scan must give bit-identical placements to the single-window path."""
+    scan must give bit-identical placements to the single-window path —
+    including NULL-group rows, which ~isin(big) alone would silently drop
+    (NULL predicate → WHERE false) while the window path keeps them as
+    their own stream."""
     rows = [(i, (i * 7) % 300, "en" if i % 4 else "fr") for i in range(4000)]
-    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "lang"])
+    rows += [(10_000 + i, 50, None) for i in range(20)]  # NULL-group docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, lang string")
     plain = packing.pack_chunks_grouped(df, "doc_id", "n_tok", budget=256, group_col="lang")
     escaped = packing.pack_chunks_grouped(
         df, "doc_id", "n_tok", budget=256, group_col="lang", big_groups=["en"]
     )
+    assert escaped.count() == len(rows)  # nothing vanishes
     assert plain.exceptAll(escaped).count() == 0
     assert escaped.exceptAll(plain).count() == 0
 

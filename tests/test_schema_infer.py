@@ -196,3 +196,40 @@ def test_cli_infer_schema_baseline_drift(spark, tmp_path, capsys):
     assert ("attr_removed", "name") in got
     assert any(ch.startswith("attr_added") and a == "extra" for ch, a in got)
     assert rep["n_breaking"] >= 1
+
+    # without --out, stdout must carry exactly ONE JSON document (the
+    # drift report with the inferred metamodel embedded), not two
+    # concatenated ones
+    rc3 = cli.main(["infer-schema", "--tables", f"t={src2}", "--baseline", mm_path])
+    out3 = capsys.readouterr().out
+    rep3 = _json.loads(out3)  # would raise on concatenated documents
+    assert rc3 == 0 and "metamodel" in rep3 and rep3["n_breaking"] >= 1
+
+
+def test_metamodel_diff_unique_bounds_and_kind_fields():
+    """The gate must catch uniqueness tightenings, numeric-bound
+    narrowings, and kind-level field changes — data valid under the old
+    schema becomes invalid under the new one in each case."""
+    from unify_spark.schema.diff import diff_metamodels
+    from unify_spark.schema.model import AttributeSpec, KindSchema, Metamodel
+
+    old = Metamodel(kinds={"t": KindSchema(kind="t", parent=None, attributes=[
+        AttributeSpec("a", "int", unique=False),
+        AttributeSpec("b", "double", min_value=None, max_value=100.0),
+        AttributeSpec("c", "double", min_value=0.0, max_value=None),
+    ])})
+    new = Metamodel(kinds={"t": KindSchema(kind="t", parent="root", attributes=[
+        AttributeSpec("a", "int", unique=True),                       # tightened
+        AttributeSpec("b", "double", min_value=0.0, max_value=100.0), # lower bound appears
+        AttributeSpec("c", "double", min_value=None, max_value=None), # bound removed
+    ])})
+    by = {(c.attr, c.change): c.severity for c in diff_metamodels(old, new)}
+    assert by[("a", "unique_tightened")] == "breaking"
+    assert by[("b", "range_narrowed")] == "breaking"
+    assert by[("c", "range_widened")] == "compatible"
+    assert by[(None, "parent_changed")] == "breaking"
+    # reverse direction: loosening is compatible
+    by2 = {(c.attr, c.change): c.severity for c in diff_metamodels(new, old)}
+    assert by2[("a", "unique_loosened")] == "compatible"
+    assert by2[("b", "range_widened")] == "compatible"
+    assert by2[("c", "range_narrowed")] == "breaking"

@@ -43,17 +43,21 @@ def cmd_infer_schema(args) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(out)
-    else:
-        print(out)
     if getattr(args, "baseline", None):
         # schema drift vs the metamodel a prior run validated against —
-        # the metadata sibling of the `validate --baseline` histogram drift
+        # the metadata sibling of the `validate --baseline` histogram drift.
+        # stdout carries exactly ONE JSON document: the drift report, with
+        # the inferred metamodel embedded when --out didn't take it
         from unify_spark.schema.diff import diff_json
 
         with open(args.baseline) as f:
             report = diff_json(f.read(), out)
         report["baseline"] = args.baseline
+        if not args.out:
+            report["metamodel"] = json.loads(out)
         print(json.dumps(report, indent=2, sort_keys=True))
+    elif not args.out:
+        print(out)
     return 0
 
 
@@ -543,14 +547,15 @@ def cmd_corpus_decontaminate(args) -> int:
 
 
 def cmd_audio_features(args) -> int:
-    """Audio feature + activity-segment sidecars from the CLI: decode every
-    clip once per sidecar in Arrow-vectorized groups and write
-    (features.parquet, segments.parquet) next to ``--out``. Column names
-    and VAD knobs come from corpus.audio in --config or flags — the same
-    config-driven entry the text corpus path has."""
+    """Audio feature + activity-segment sidecars from the CLI: ONE decode
+    pass (audio_sidecars — PCM decode dominates, so features and segments
+    share the decoded matrices) projected into (features.parquet,
+    segments.parquet) under ``--out``. Column names and VAD knobs come from
+    corpus.audio in --config or flags — the same config-driven entry the
+    text corpus path has."""
     from pyspark.sql import functions as F
 
-    from unify_spark.functions.multimodal import audio_features, audio_segments
+    from unify_spark.functions.multimodal import audio_sidecars
     from unify_spark.sources import read_table
 
     knobs = _with_config(
@@ -571,19 +576,28 @@ def cmd_audio_features(args) -> int:
     cols = {k: knobs[k] for k in ("id_col", "bytes_col", "codec_col", "sr_col")}
     feats_path = os.path.join(args.out, "features.parquet")
     segs_path = os.path.join(args.out, "segments.parquet")
-    audio_features(df, **cols).write.mode("overwrite").parquet(feats_path)
-    audio_segments(
+    combined = audio_sidecars(
         df,
         **cols,
         threshold_dbfs=float(knobs["threshold_dbfs"]),
         max_gap_ms=int(knobs["max_gap_ms"]),
         min_dur_ms=int(knobs["min_dur_ms"]),
+    ).persist()
+    idc = knobs["id_col"]
+    combined.select(
+        idc, "rms_db", "peak", "zcr", "clipping_ratio", "silence_ratio",
+        "dc_offset", "n_samples", "reason",
+    ).write.mode("overwrite").parquet(feats_path)
+    combined.select(
+        idc, "segments", "n_segments", "speech_ms", "reason"
     ).write.mode("overwrite").parquet(segs_path)
+    combined.unpersist()
     feats = spark.read.parquet(feats_path)
     segs = spark.read.parquet(segs_path)
     row = feats.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("reason").isNotNull().cast("long")).alias("n_failed"),
+        # undecodable rows carry a non-empty reason string ('' = decoded)
+        F.sum((F.col("reason") != "").cast("long")).alias("n_failed"),
     ).first()
     srow = segs.agg(F.sum("speech_ms").alias("speech_ms")).first()
     print(

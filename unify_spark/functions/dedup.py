@@ -382,8 +382,12 @@ def decontaminate(
     btx = bench_text_col or text_col
     src = _ensure_parallel(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
     sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
-    sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
+    # sizes over the FULL shingle universe (pre-cap): contamination's
+    # denominator is the doc's true distinct n-gram count, so dropping a
+    # doc's boilerplate grams from the join can only LOWER its score —
+    # the cap never inflates contamination on boilerplate-heavy docs
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
     bench_sh = benchmark.select(
         F.col(bid).alias("bench_id"), F.explode(shingles(btx, n)).alias("s")
     )

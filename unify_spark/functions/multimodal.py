@@ -179,6 +179,125 @@ def resize_stub(*_args, **_kwargs):
     )
 
 
+def _decode_group_iter(pdf, bytes_col, codec_col, sr_col, reason):
+    """Yield (sr, idxs, dec, x) for each decodable (codec, byte-len, sr)
+    group of an Arrow batch — the shared decode stage of audio_features /
+    audio_segments / audio_sidecars, so a combined pass decodes each clip
+    exactly once. Rows that cannot decode (null bytes, unknown codec,
+    decode error, zero samples) get their failure written into ``reason``
+    and are not yielded."""
+    from unify_spark.audio import pcm
+
+    ok = (pdf[bytes_col].notna() & pdf[codec_col].isin(pcm.CODEC_DOMAIN)).to_numpy()
+    reason[~ok] = "null bytes or unknown codec"
+    blobs = pdf[bytes_col].to_numpy()
+    codecs = pdf[codec_col].to_numpy()
+    srs = pdf[sr_col].to_numpy()
+    groups: dict[tuple, list[int]] = {}
+    for i in np.flatnonzero(ok):
+        sr = int(srs[i]) if srs[i] and not pd.isna(srs[i]) else 16000
+        groups.setdefault((codecs[i], len(blobs[i]), sr), []).append(i)
+    for (codec, _bl, sr), idxs in groups.items():
+        try:
+            dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
+        except ValueError as e:
+            for i in idxs:
+                reason[i] = f"decode error: {e}"
+            continue
+        x = dec.astype(np.float64) / 32768.0
+        if x.shape[1] == 0:
+            # zero-sample decode: every reduction downstream is undefined —
+            # report instead of crashing the batch (fail-at-end)
+            reason[np.array(idxs)] = "empty audio (0 samples)"
+            continue
+        yield sr, np.array(idxs), dec, x
+
+
+def _segment_group(x, sr, thr, max_gap_ms, min_dur_ms):
+    """Merged speech spans for one decoded group: one list of
+    {'start_ms','end_ms'} dicts per row of ``x``. 10 ms frame RMS against
+    ``thr``, runs merged across gaps up to ``max_gap_ms``, spans shorter
+    than ``min_dur_ms`` dropped."""
+    frame = max(sr // 100, 1)
+    frame_ms = 1000.0 * frame / sr
+    nf = x.shape[1] // frame
+    if nf < 1:
+        # clip shorter than one frame: whole clip is one frame
+        fr_active = np.sqrt((x * x).mean(axis=1, keepdims=True)) >= thr
+        frame_ms = 1000.0 * x.shape[1] / sr
+    else:
+        fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
+        fr_active = np.sqrt((fr * fr).mean(axis=2)) >= thr
+    gap = max(int(round(max_gap_ms / frame_ms)), 0)
+    out = []
+    for row in range(x.shape[0]):
+        a = fr_active[row].astype(np.int8)
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], a, [0]))))
+        merged: list[tuple[int, int]] = []
+        for s_, e_ in zip(edges[::2], edges[1::2]):  # [start, end) frames
+            if merged and s_ - merged[-1][1] <= gap:
+                merged[-1] = (merged[-1][0], e_)
+            else:
+                merged.append((s_, e_))
+        out.append(
+            [
+                {"start_ms": int(round(s_ * frame_ms)), "end_ms": int(round(e_ * frame_ms))}
+                for s_, e_ in merged
+                if (e_ - s_) * frame_ms >= min_dur_ms
+            ]
+        )
+    return out
+
+
+def _feature_group(dec, x, sr, out, ii):
+    """Write one decoded group's quality-feature arrays into the
+    batch-level ``out`` dict at row positions ``ii``."""
+    rms = np.sqrt(np.mean(x * x, axis=1))
+    out["rms_db"][ii] = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    out["peak"][ii] = np.abs(x).max(axis=1)
+    signs = np.signbit(dec)
+    out["zcr"][ii] = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+    # widen before abs: np.abs(int16 -32768) overflows back to -32768,
+    # silently missing samples clipped at the negative rail — the exact
+    # samples this metric exists to count
+    out["clipping_ratio"][ii] = (np.abs(dec.astype(np.int32)) >= 32767).mean(axis=1)
+    out["dc_offset"][ii] = x.mean(axis=1)
+    # silence: RMS per 10 ms frame (sr/100 samples) < -40 dBFS; clips
+    # shorter than one frame score as a single frame
+    frame = max(sr // 100, 1)
+    nf = x.shape[1] // frame
+    thr = 10.0 ** (-40.0 / 20.0)
+    if nf >= 1:
+        fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
+        frms = np.sqrt((fr * fr).mean(axis=2))
+        out["silence_ratio"][ii] = (frms < thr).mean(axis=1)
+    else:
+        out["silence_ratio"][ii] = (rms < thr).astype(np.float64)
+    out["n_samples"][ii] = dec.shape[1]
+
+
+def _empty_feature_arrays(n):
+    return {
+        "rms_db": np.full(n, np.nan),
+        "peak": np.full(n, np.nan),
+        "zcr": np.full(n, np.nan),
+        "clipping_ratio": np.full(n, np.nan),
+        "silence_ratio": np.full(n, np.nan),
+        "dc_offset": np.full(n, np.nan),
+        "n_samples": np.zeros(n, dtype=np.int64),
+    }
+
+
+_FEATURE_SCHEMA = (
+    "rms_db double, peak double, zcr double, clipping_ratio double, "
+    "silence_ratio double, dc_offset double, n_samples long"
+)
+_SEGMENT_SCHEMA = (
+    "segments array<struct<start_ms: int, end_ms: int>>, "
+    "n_segments int, speech_ms long"
+)
+
+
 def audio_segments(
     df: "DataFrame",
     id_col: str = "clip_id",
@@ -195,17 +314,14 @@ def audio_segments(
     to ``max_gap_ms``, segments shorter than ``min_dur_ms`` dropped.
 
     Emits (id, segments array<struct<start_ms,end_ms>>, n_segments,
-    speech_ms, reason). Same Arrow/decode grouping as ``audio_features``
-    ((codec, byte-length, sr) groups, 2-D vectorized decode + frame RMS);
-    the per-row run extraction is numpy diff/flatnonzero over the boolean
-    frame matrix — a few short arrays per row, no sample-level Python. A
-    production VAD model slots into the same column contract."""
-    from unify_spark.audio import pcm
-
-    schema = (
-        f"{id_col} string, segments array<struct<start_ms: int, end_ms: int>>, "
-        "n_segments int, speech_ms long, reason string"
-    )
+    speech_ms, reason). Decode grouping shared with ``audio_features`` via
+    ``_decode_group_iter`` ((codec, byte-length, sr) groups, 2-D vectorized
+    decode + frame RMS); the per-row run extraction is numpy
+    diff/flatnonzero over the boolean frame matrix — a few short arrays per
+    row, no sample-level Python. A production VAD model slots into the same
+    column contract. Need features too? ``audio_sidecars`` computes both
+    from ONE decode pass."""
+    schema = f"{id_col} string, {_SEGMENT_SCHEMA}, reason string"
     thr = 10.0 ** (threshold_dbfs / 20.0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,64 +333,14 @@ def audio_segments(
             nseg = np.zeros(n, dtype=np.int32)
             speech = np.zeros(n, dtype=np.int64)
             reason = np.full(n, "", dtype=object)
-            ok = (
-                pdf[bytes_col].notna() & pdf[codec_col].isin(pcm.CODEC_DOMAIN)
-            ).to_numpy()
-            reason[~ok] = "null bytes or unknown codec"
-            blobs = pdf[bytes_col].to_numpy()
-            codecs = pdf[codec_col].to_numpy()
-            srs = pdf[sr_col].to_numpy()
-            groups: dict[tuple, list[int]] = {}
-            for i in np.flatnonzero(ok):
-                sr = int(srs[i]) if srs[i] and not pd.isna(srs[i]) else 16000
-                groups.setdefault((codecs[i], len(blobs[i]), sr), []).append(i)
-            for (codec, _bl, sr), idxs in groups.items():
-                try:
-                    dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
-                except ValueError as e:
-                    for i in idxs:
-                        reason[i] = f"decode error: {e}"
-                    continue
-                x = dec.astype(np.float64) / 32768.0
-                if x.shape[1] == 0:
-                    # zero-sample decode: no frames to segment and the
-                    # single-frame fallback would divide by frame_ms=0
-                    reason[np.array(idxs)] = "empty audio (0 samples)"
-                    continue
-                frame = max(sr // 100, 1)
-                frame_ms = 1000.0 * frame / sr
-                nf = x.shape[1] // frame
-                if nf < 1:
-                    # clip shorter than one frame: whole clip is one frame
-                    fr_active = (
-                        np.sqrt((x * x).mean(axis=1, keepdims=True)) >= thr
-                    )
-                    frame_ms = 1000.0 * x.shape[1] / sr
-                else:
-                    fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
-                    fr_active = np.sqrt((fr * fr).mean(axis=2)) >= thr
-                gap = max(int(round(max_gap_ms / frame_ms)), 0)
-                for row, i in enumerate(idxs):
-                    a = fr_active[row].astype(np.int8)
-                    edges = np.flatnonzero(np.diff(np.concatenate(([0], a, [0]))))
-                    runs = list(zip(edges[::2], edges[1::2]))  # [start, end) frames
-                    merged: list[tuple[int, int]] = []
-                    for s, e in runs:
-                        if merged and s - merged[-1][1] <= gap:
-                            merged[-1] = (merged[-1][0], e)
-                        else:
-                            merged.append((s, e))
-                    out_rows = [
-                        {
-                            "start_ms": int(round(s * frame_ms)),
-                            "end_ms": int(round(e * frame_ms)),
-                        }
-                        for s, e in merged
-                        if (e - s) * frame_ms >= min_dur_ms
-                    ]
-                    segs[i] = out_rows
-                    nseg[i] = len(out_rows)
-                    speech[i] = sum(r["end_ms"] - r["start_ms"] for r in out_rows)
+            for sr, ii, _dec, x in _decode_group_iter(
+                pdf, bytes_col, codec_col, sr_col, reason
+            ):
+                spans = _segment_group(x, sr, thr, max_gap_ms, min_dur_ms)
+                for row, i in enumerate(ii):
+                    segs[i] = spans[row]
+                    nseg[i] = len(spans[row])
+                    speech[i] = sum(r["end_ms"] - r["start_ms"] for r in spans[row])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype(str).to_numpy(),
@@ -307,85 +373,77 @@ def audio_features(
     ADC shows here before anything else).
 
     One Arrow-batched mapInPandas pass; rows are grouped by (codec, byte
-    length, sample rate) so decoding is 2-D-vectorized per group like the
-    payload constraint (sr joins the key because the silence frame length
-    is sr/100 samples); undecodable rows emit nulls with a reason instead
-    of killing the job (fail-at-end)."""
-    from unify_spark.audio import pcm
-
-    schema = (
-        f"{id_col} string, rms_db double, peak double, zcr double, "
-        "clipping_ratio double, silence_ratio double, dc_offset double, "
-        "n_samples long, reason string"
-    )
+    length, sample rate) via the shared ``_decode_group_iter`` so decoding
+    is 2-D-vectorized per group like the payload constraint (sr joins the
+    key because the silence frame length is sr/100 samples); undecodable
+    rows emit nulls with a reason instead of killing the job
+    (fail-at-end). Need segments too? ``audio_sidecars`` computes both
+    from ONE decode pass."""
+    schema = f"{id_col} string, {_FEATURE_SCHEMA}, reason string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             n = len(pdf)
-            out = {
-                id_col: pdf[id_col].astype(str).to_numpy(),
-                "rms_db": np.full(n, np.nan),
-                "peak": np.full(n, np.nan),
-                "zcr": np.full(n, np.nan),
-                "clipping_ratio": np.full(n, np.nan),
-                "silence_ratio": np.full(n, np.nan),
-                "dc_offset": np.full(n, np.nan),
-                "n_samples": np.zeros(n, dtype=np.int64),
-                "reason": np.full(n, "", dtype=object),
-            }
-            ok = (
-                pdf[bytes_col].notna()
-                & pdf[codec_col].isin(pcm.CODEC_DOMAIN)
-            ).to_numpy()
-            out["reason"][~ok] = "null bytes or unknown codec"
-            blobs = pdf[bytes_col].to_numpy()
-            codecs = pdf[codec_col].to_numpy()
-            srs = pdf[sr_col].to_numpy()
-            groups: dict[tuple, list[int]] = {}
-            for i in np.flatnonzero(ok):
-                sr = int(srs[i]) if srs[i] and not pd.isna(srs[i]) else 16000
-                groups.setdefault((codecs[i], len(blobs[i]), sr), []).append(i)
-            for (codec, _bl, sr), idxs in groups.items():
-                try:
-                    dec = pcm.decode_batch([bytes(blobs[i]) for i in idxs], str(codec))
-                except ValueError as e:
-                    for i in idxs:
-                        out["reason"][i] = f"decode error: {e}"
-                    continue
-                x = dec.astype(np.float64) / 32768.0
-                ii = np.array(idxs)
-                if x.shape[1] == 0:
-                    # zero-sample decode (empty payload): every reduction
-                    # below is undefined — report instead of crashing the
-                    # batch (fail-at-end, same as a decode error)
-                    out["reason"][ii] = "empty audio (0 samples)"
-                    continue
-                rms = np.sqrt(np.mean(x * x, axis=1))
-                out["rms_db"][ii] = 20.0 * np.log10(np.maximum(rms, 1e-10))
-                out["peak"][ii] = np.abs(x).max(axis=1)
-                signs = np.signbit(dec)
-                out["zcr"][ii] = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
-                # widen before abs: np.abs(int16 -32768) overflows back to
-                # -32768, silently missing samples clipped at the negative
-                # rail — the exact samples this metric exists to count
-                out["clipping_ratio"][ii] = (
-                    np.abs(dec.astype(np.int32)) >= 32767
-                ).mean(axis=1)
-                out["dc_offset"][ii] = x.mean(axis=1)
-                # silence: RMS per 10 ms frame (sr/100 samples) < −40 dBFS;
-                # clips shorter than one frame score as a single frame
-                frame = max(sr // 100, 1)
-                nf = x.shape[1] // frame
-                thr = 10.0 ** (-40.0 / 20.0)
-                if nf >= 1:
-                    fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
-                    frms = np.sqrt((fr * fr).mean(axis=2))
-                    out["silence_ratio"][ii] = (frms < thr).mean(axis=1)
-                else:
-                    out["silence_ratio"][ii] = (rms < thr).astype(np.float64)
-                out["n_samples"][ii] = dec.shape[1]
+            out = {id_col: pdf[id_col].astype(str).to_numpy(), **_empty_feature_arrays(n)}
+            reason = np.full(n, "", dtype=object)
+            for sr, ii, dec, x in _decode_group_iter(
+                pdf, bytes_col, codec_col, sr_col, reason
+            ):
+                _feature_group(dec, x, sr, out, ii)
+            out["reason"] = reason
+            yield pd.DataFrame(out)
+
+    slim = df.select(id_col, bytes_col, codec_col, sr_col)
+    return slim.mapInPandas(run, schema=schema)
+
+
+def audio_sidecars(
+    df: "DataFrame",
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    threshold_dbfs: float = -40.0,
+    max_gap_ms: int = 100,
+    min_dur_ms: int = 60,
+) -> "DataFrame":
+    """Features AND activity segments from a SINGLE decode pass — PCM
+    decode dominates both extractors, so running audio_features and
+    audio_segments separately pays the dominant cost twice. One
+    mapInPandas decodes each (codec, byte-length, sr) group once and feeds
+    the same decoded matrix to both compute blocks; project the feature or
+    segment columns downstream (the CLI ``audio-features`` command writes
+    both sidecars from this one pass)."""
+    schema = (
+        f"{id_col} string, {_FEATURE_SCHEMA}, {_SEGMENT_SCHEMA}, reason string"
+    )
+    thr = 10.0 ** (threshold_dbfs / 20.0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            out = {id_col: pdf[id_col].astype(str).to_numpy(), **_empty_feature_arrays(n)}
+            segs: list = [[] for _ in range(n)]
+            nseg = np.zeros(n, dtype=np.int32)
+            speech = np.zeros(n, dtype=np.int64)
+            reason = np.full(n, "", dtype=object)
+            for sr, ii, dec, x in _decode_group_iter(
+                pdf, bytes_col, codec_col, sr_col, reason
+            ):
+                _feature_group(dec, x, sr, out, ii)
+                spans = _segment_group(x, sr, thr, max_gap_ms, min_dur_ms)
+                for row, i in enumerate(ii):
+                    segs[i] = spans[row]
+                    nseg[i] = len(spans[row])
+                    speech[i] = sum(r["end_ms"] - r["start_ms"] for r in spans[row])
+            out["segments"] = segs
+            out["n_segments"] = nseg
+            out["speech_ms"] = speech
+            out["reason"] = reason
             yield pd.DataFrame(out)
 
     slim = df.select(id_col, bytes_col, codec_col, sr_col)

@@ -195,9 +195,11 @@ def pack_chunks_grouped(
 
     big = list(big_groups or [])
     if big:
-        rest = pack_chunks_grouped(
-            df.where(~F.col(group_col).isin(big)), id_col, tokens_col, budget, group_col
-        )
+        # NULL-safe tail filter: ~isin(big) evaluates to NULL (→ dropped)
+        # for NULL group values, but the window path treats NULL as its own
+        # group — keep those rows on the window path explicitly
+        tail = df.where(~F.col(group_col).isin(big) | F.col(group_col).isNull())
+        rest = pack_chunks_grouped(tail, id_col, tokens_col, budget, group_col)
         parts = [rest]
         for g in big:
             one = pack_chunks(

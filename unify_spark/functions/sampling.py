@@ -52,6 +52,24 @@ def sample_hash(df: DataFrame, id_col: str, rate: float, salt: str = "") -> Data
     return df.where(hash_keep(id_col, rate, salt))
 
 
+def _per_stratum_keep(
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str,
+) -> Column:
+    """The per-stratum CASE-chain keep predicate shared by
+    ``stratified_sample`` and ``take_per_stratum``'s pre-thin phase."""
+    keep = hash_keep(id_col, default_rate, salt)
+    s = F.col(strata_col).cast("string")
+    for value, rate in sorted(rates.items()):
+        keep = F.when(s == F.lit(str(value)), hash_keep(id_col, rate, salt)).otherwise(
+            keep
+        )
+    return keep
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -67,13 +85,7 @@ def stratified_sample(
     (plan literals, broadcast with the plan — no join, no shuffle); a
     million-stratum table would use a broadcast join instead, but quality
     tiers / language buckets are small."""
-    keep = hash_keep(id_col, default_rate, salt)
-    s = F.col(strata_col).cast("string")
-    for value, rate in sorted(rates.items()):
-        keep = F.when(s == F.lit(str(value)), hash_keep(id_col, rate, salt)).otherwise(
-            keep
-        )
-    return df.where(keep)
+    return df.where(_per_stratum_keep(id_col, strata_col, rates, default_rate, salt))
 
 
 def take_per_stratum(
@@ -110,15 +122,18 @@ def take_per_stratum(
     from pyspark.sql import Window
 
     if strata_counts:
-        keep = F.lit(True)
-        s = F.col(strata_col).cast("string")
-        for value, count in sorted(strata_counts.items()):
-            if count > 10 * oversample * n:
-                rate = min(1.0, oversample * n / count)
-                keep = F.when(
-                    s == F.lit(str(value)), hash_keep(id_col, rate, salt)
-                ).otherwise(keep)
-        df = df.where(keep)
+        rates = {
+            value: min(1.0, oversample * n / count)
+            for value, count in strata_counts.items()
+            if count > 10 * oversample * n
+        }
+        if rates:
+            keep = _per_stratum_keep(id_col, strata_col, rates, 1.0, salt)
+            # NULL-safe: a NULL id hashes to NULL → predicate NULL → WHERE
+            # would drop it, but the single-phase window ranks NULL hashes
+            # FIRST (they are always in the top-n), so they must survive
+            # the pre-thin for the two-phase form to stay exact
+            df = df.where(F.coalesce(keep, F.lit(True)))
 
     c = F.col(id_col).cast("string")
     h = F.md5(F.concat(c, F.lit(salt)))

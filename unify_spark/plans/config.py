@@ -271,20 +271,29 @@ _CORPUS_KEYS = {
 }
 
 
-def parse_corpus_config(doc: dict) -> CorpusConfig:
+def parse_corpus_config(doc: dict | None) -> CorpusConfig:
     """Validate and extract the ``corpus:`` section; unknown keys inside a
     sub-section are an error (a typo'd knob silently falling back to a
-    default is exactly the config bug a validation engine must not have)."""
-    section = dict(doc.get("corpus", {}))
+    default is exactly the config bug a validation engine must not have),
+    and non-mapping sections get a clear ValueError rather than a raw
+    traceback (an empty YAML file parses to None)."""
+    doc = doc if doc is not None else {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"corpus config must be a mapping, got {type(doc).__name__}")
+    section = doc.get("corpus") or {}
+    if not isinstance(section, dict):
+        raise ValueError(f"corpus: must be a mapping, got {type(section).__name__}")
     out: dict[str, dict] = {}
     for name, allowed in _CORPUS_KEYS.items():
-        sub = dict(section.get(name, {}))
+        sub = section.get(name) or {}
+        if not isinstance(sub, dict):
+            raise ValueError(f"corpus.{name}: must be a mapping, got {type(sub).__name__}")
         unknown = set(sub) - allowed
         if unknown:
             raise ValueError(
                 f"corpus.{name}: unknown keys {sorted(unknown)}; allowed: {sorted(allowed)}"
             )
-        out[name] = sub
+        out[name] = dict(sub)
     return CorpusConfig(raw=doc, **out)
 
 

@@ -64,6 +64,14 @@ def diff_metamodels(old: Metamodel, new: Metamodel) -> list[SchemaChange]:
             out.append(
                 SchemaChange(k, "id_changed", BREAKING, old=_fmt(ok.id_attr), new=_fmt(nk.id_attr))
             )
+        for field_name in ("parent", "id_scope", "composite_id_components"):
+            ov, nv = getattr(ok, field_name), getattr(nk, field_name)
+            if (ov or None) != (nv or None):
+                out.append(
+                    SchemaChange(
+                        k, f"{field_name}_changed", BREAKING, old=_fmt(ov), new=_fmt(nv)
+                    )
+                )
         oa = {a.name: a for a in ok.attributes}
         na = {a.name: a for a in nk.attributes}
         for name in sorted(set(oa) - set(na)):
@@ -127,6 +135,36 @@ def diff_metamodels(old: Metamodel, new: Metamodel) -> list[SchemaChange]:
                 out.append(
                     SchemaChange(
                         k, "ref_changed", BREAKING, attr=name, old=_fmt(a.ref_to), new=_fmt(b.ref_to)
+                    )
+                )
+            if a.unique != b.unique:
+                out.append(
+                    SchemaChange(
+                        k,
+                        "unique_tightened" if b.unique else "unique_loosened",
+                        BREAKING if b.unique else COMPATIBLE,
+                        attr=name,
+                        old=str(a.unique),
+                        new=str(b.unique),
+                    )
+                )
+            # numeric bounds: a bound APPEARING or moving inward narrows the
+            # valid range (breaking); disappearing or moving outward widens
+            lo_narrowed = (a.min_value is None and b.min_value is not None) or (
+                a.min_value is not None and b.min_value is not None and b.min_value > a.min_value
+            )
+            hi_narrowed = (a.max_value is None and b.max_value is not None) or (
+                a.max_value is not None and b.max_value is not None and b.max_value < a.max_value
+            )
+            if (a.min_value, a.max_value) != (b.min_value, b.max_value):
+                out.append(
+                    SchemaChange(
+                        k,
+                        "range_narrowed" if (lo_narrowed or hi_narrowed) else "range_widened",
+                        BREAKING if (lo_narrowed or hi_narrowed) else COMPATIBLE,
+                        attr=name,
+                        old=f"[{a.min_value},{a.max_value}]",
+                        new=f"[{b.min_value},{b.max_value}]",
                     )
                 )
     return out
