@@ -250,3 +250,38 @@ def test_drift_monitor_foreach_batch(spark, tmp_path):
     got = {r["part"]: r["failed"] for r in scored.collect()}
     assert got == {"ok": False, "shifted": True}
     assert {r["constraint"] for r in scored.collect()} == {"drift:clips.dur_ms"}
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap-based sessionization: events within the gap chain; a quiet
+    period splits; Spark's session_window end extends one gap past the
+    last event (engine semantics, asserted so consumers aren't surprised);
+    per-key sessions are independent; extra aggregates pass through."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.sessions import sessionize
+
+    t = lambda m, s=0: datetime(2025, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        ("u1", t(0), 1.0), ("u1", t(2), 2.0), ("u1", t(4), 3.0),   # session A
+        ("u1", t(30), 4.0),                                        # >5m gap → B
+        ("u2", t(1), 5.0),                                         # other key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sessionize(
+        df, "ts", "user_id", gap="5 minutes",
+        agg_exprs=[F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    got = {
+        (r["user_id"], r["session_start"].minute): r for r in out.collect()
+    }
+    assert set(got) == {("u1", 0), ("u1", 30), ("u2", 1)}
+    a = got[("u1", 0)]
+    assert a["n_events"] == 3 and a["sum_value"] == 6.0
+    # end = last event (10:04) + 5-minute gap
+    assert a["session_end"].minute == 9 and a["duration_s"] == 9 * 60
+    b = got[("u1", 30)]
+    assert b["n_events"] == 1 and b["duration_s"] == 5 * 60
+    assert got[("u2", 1)]["n_events"] == 1

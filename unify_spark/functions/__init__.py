@@ -20,8 +20,10 @@ from unify_spark.functions.packing import (  # noqa: F401
     pack_chunks,
     pack_chunks_grouped,
     pack_documents,
+    pack_spans,
 )
 from unify_spark.functions.dedup import (  # noqa: F401
+    decontaminate,
     exact_duplicates,
     minhash_candidates,
     ngram_containment_pairs,
@@ -33,6 +35,7 @@ from unify_spark.functions.dedup import (  # noqa: F401
 )
 from unify_spark.functions.similarity import (  # noqa: F401
     cosine_pairs,
+    validated_vectors,
     cosine_topk,
     embedding_dup_clusters,
     embedding_near_dup_pairs,
@@ -45,7 +48,9 @@ from unify_spark.functions.graph import (  # noqa: F401
     duplicate_clusters,
 )
 from unify_spark.functions.pipeline import clean_corpus  # noqa: F401
+from unify_spark.functions.sessions import sessionize  # noqa: F401
 from unify_spark.functions.multimodal import (  # noqa: F401
     audio_features,
     audio_segments,
+    audio_sidecars,
 )
