@@ -128,15 +128,44 @@ def q_enum_mapping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_nullrate_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Null-rate stats (profile_table's null_rate aggregate)."""
-    ev = _t(spark, sf, "events")
-    return ev.agg(
+def q_profile_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """One profile-snapshot row: events null rates (profile_table's
+    null_rate aggregate) × lineitem exact distinct counts (the HLL slot,
+    oracle-checkable exactly). Merged from the former q_nullrate_events and
+    q_distinct_counts rows (50-slot driver registry — see COVERAGE.md);
+    both sides stay fully oracled, the cross join of two 1-row aggregates
+    is free."""
+    ev = _t(spark, sf, "events").agg(
         F.round(F.avg(F.col("props").isNull().cast("double")), 6).alias("null_rate_props"),
         F.round(F.avg(F.col("value").isNull().cast("double")), 6).alias("null_rate_value"),
         F.round(F.avg(F.col("user_id").isNull().cast("double")), 6).alias("null_rate_user"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    li = _t(spark, sf, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+    return ev.crossJoin(li)
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based event sessionization (functions/sessions.py): per-user
+    sessions at a 6-hour gap over the events table — F.session_window's
+    native state machine (identical expression under Structured Streaming
+    with a watermark). The oracle re-derives sessions with the classic
+    lag/cumsum construction; matching rows pin Spark's merge semantics
+    (session end = last event + gap, new session when the gap is
+    reached). duration_s is excluded from the compare (engine-specific
+    epoch truncation); n_events/sum_value/start/end carry the content."""
+    from unify_spark.functions.sessions import sessionize
+
+    ev = _t(spark, sf, "events")
+    out = sessionize(
+        ev, "ts", "user_id", gap="6 hours",
+        agg_exprs=[F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events", "sum_value")
 
 
 def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
@@ -511,16 +540,6 @@ def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact distinct-count stats (the HLL slot, oracle-checkable exactly)."""
-    li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
-        F.count_distinct("l_orderkey").alias("n_orders"),
-    )
-
-
 def q_range_violations(spark: SparkSession, sf: str) -> DataFrame:
     """RangeConstraint shape: rows outside a numeric contract (filter is
     pushed into the parquet scan — see PLANS.md)."""
@@ -867,7 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ri_violations": q_ri_violations,
         "q_domain_event_type": q_domain_event_type,
         "q_enum_mapping": q_enum_mapping,
-        "q_nullrate_events": q_nullrate_events,
+        "q_profile_snapshot": q_profile_snapshot,
+        "q_sessionize": q_sessionize,
         "q_quantiles_price": q_quantiles_price,
         "q_completeness_linenumber": q_completeness_linenumber,
         "q_window_top_event": q_window_top_event,
@@ -889,7 +909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_precision": q_winnow_precision,
         "q_uid_synthesis": q_uid_synthesis,
         "q_unpivot_lineitem": q_unpivot_lineitem,
-        "q_distinct_counts": q_distinct_counts,
         "q_range_violations": q_range_violations,
         "q_windowed_events": q_windowed_events,
         "q_upsert_conflict": q_upsert_conflict,
@@ -1013,12 +1032,43 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY 1
         """,
-        "q_nullrate_events": """
-            SELECT ROUND(AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_props,
-                   ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_value,
-                   ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_user,
-                   COUNT(*) AS n_rows
-            FROM events
+        "q_profile_snapshot": """
+            SELECT * FROM (
+              SELECT ROUND(AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_props,
+                     ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_value,
+                     ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_user,
+                     COUNT(*) AS n_rows
+              FROM events
+            ) CROSS JOIN (
+              SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+                     COUNT(DISTINCT l_suppkey) AS n_supps,
+                     COUNT(DISTINCT l_orderkey) AS n_orders
+              FROM lineitem
+            )
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w >= INTERVAL '6 hours'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '6 hours' AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "q_quantiles_price": """
             SELECT l_returnflag,
@@ -1118,12 +1168,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT (l_quantity, l_extendedprice)) AS n_variants
             FROM lineitem GROUP BY l_orderkey, l_linenumber
             HAVING COUNT(DISTINCT (l_quantity, l_extendedprice)) > 1
-        """,
-        "q_distinct_counts": """
-            SELECT COUNT(DISTINCT l_partkey) AS n_parts,
-                   COUNT(DISTINCT l_suppkey) AS n_supps,
-                   COUNT(DISTINCT l_orderkey) AS n_orders
-            FROM lineitem
         """,
         "q_lang_id": r"""
             WITH t AS (
