@@ -28,7 +28,13 @@ def sessionize(
 
     Streaming: apply ``df.withWatermark(ts_col, ...)`` first and the same
     call runs under Structured Streaming (update/append modes), with
-    session merging handled by the engine's state store."""
+    session merging handled by the engine's state store.
+
+    Skew: one key's events must meet in one task (session merging is a
+    per-key total order — salting would split sessions at salt boundaries).
+    Human-scale keys are naturally bounded; for degenerate hot keys (bots,
+    a null-user bucket) pre-filter or pre-thin with ``hash_keep`` on the
+    event id before sessionizing — the same escape as the quota sampler."""
     aggs = [F.count(F.lit(1)).alias("n_events")] + list(agg_exprs or [])
     sw = F.session_window(F.col(ts_col), gap)
     out = df.groupBy(F.col(key_col), sw.alias("sw")).agg(*aggs)
