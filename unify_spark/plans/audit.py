@@ -110,6 +110,16 @@ class AuditLog:
                 ]
             ),
         )
+        from unify_spark.sources import iceberg as ice
+
+        if ice.is_table_identifier(self.path) and ice.iceberg_enabled(self.spark):
+            # catalog path: append the same rows to the Iceberg audit table
+            # (sources/iceberg.py) — snapshot-isolated, retraction becomes
+            # DELETE WHERE run_id, and time travel serves the drift baseline
+            ice.append_rows(
+                self.spark, self.spark.createDataFrame(tbl.to_pylist(), AUDIT_SCHEMA), self.path
+            )
+            return
         os.makedirs(self.path, exist_ok=True)
         pq.write_table(tbl, os.path.join(self.path, f"audit-{batch}.parquet"))
 
