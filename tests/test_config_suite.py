@@ -183,3 +183,28 @@ def test_parse_corpus_config_rejects_malformed():
         parse_corpus_config({"corpus": "nope"})
     with pytest.raises(ValueError, match="corpus.clean: must be a mapping"):
         parse_corpus_config({"corpus": {"clean": 5}})
+
+
+def test_shipped_example_configs_parse():
+    """The examples/ configs must always parse — including the YAML-1.1
+    pitfall where a bare `on:` key loads as boolean True (normalized back
+    by the constraint factory)."""
+    import os
+
+    import yaml
+
+    from unify_spark.plans.config import parse_corpus_config, parse_suite_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suite_doc = yaml.safe_load(open(os.path.join(repo, "examples", "suite.yaml")))
+    suite = parse_suite_config(suite_doc, base_dir=os.path.join(repo, "examples"))
+    assert len(suite.constraints) == 9
+    names = {c.name for c in suite.constraints}
+    assert any(n.startswith("equality:") for n in names)  # the `on:` consumer
+
+    corpus = parse_corpus_config(
+        yaml.safe_load(open(os.path.join(repo, "examples", "corpus.yaml")))
+    )
+    assert corpus.embed_dedup["dim"] == 64
+    assert corpus.clean["max_tok_rep_ratio"] == 0.6
+    assert corpus.audio["threshold_dbfs"] == -40.0

@@ -92,6 +92,10 @@ class SuiteConfig:
 
 
 def _build_constraint(spec: dict) -> Constraint:
+    # YAML 1.1 parses a bare `on:` key as boolean True (the classic yaml
+    # pitfall) — the equality constraint's join key is spelled `on`, so
+    # normalize it back instead of KeyError'ing on a valid-looking config
+    spec = {("on" if k is True else k): v for k, v in spec.items()}
     t = spec.get("type")
     if t == "uniqueness":
         return UniquenessConstraint(
