@@ -58,9 +58,12 @@ HEADLINE_QUERIES = [
     "q_winnow_candidates",
     "q_drift_histogram",
     "q_pack_chunks",
+    "q_pack_spans",
     "q_top_ngrams",
     "q_dedup_normalized",
     "q_embed_dup_clusters",
+    "q_sessionize",
+    "q_text_quality",
 ]
 
 

@@ -717,3 +717,39 @@ def test_decontaminate_denominator_is_precap_universe(spark):
         F.size(F.array_distinct(dedup.shingles(F.col("text"), 8))).alias("sz")
     ).first()["sz"]
     assert abs(out[0]["contamination"] - out[0]["n_shared"] / full_sz) < 1e-12
+
+
+def test_remove_boilerplate_lines(spark):
+    """C4-style line dedup: a footer line shared by >=3 docs disappears
+    from all of them; unique lines keep their order; blank lines are never
+    counted or removed; null text passes through."""
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (1, f"unique alpha\n{footer}\nunique beta"),
+        (2, f"{footer}\nsomething else"),
+        (3, f"start\n\n{footer}"),            # blank line preserved
+        (4, "totally original content"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_boilerplate_lines(df, "doc_id", "text", min_doc_freq=3).collect()}
+    assert out[1]["text"] == "unique alpha\nunique beta" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "something else"
+    assert out[3]["text"] == "start\n"        # footer gone, blank kept
+    assert out[4]["text"] == "totally original content" and out[4]["n_removed"] == 0
+    assert out[5]["text"] is None and out[5]["n_lines"] == 0
+
+    # below the frequency bar nothing is removed
+    out2 = {r["doc_id"]: r["text"] for r in
+            text.remove_boilerplate_lines(df, "doc_id", "text", min_doc_freq=4).collect()}
+    assert out2[1] == rows[0][1]
+
+    # delimiter generalizes (sentence-level dedup)
+    sdf = spark.createDataFrame(
+        [(1, "call now. unique a."), (2, "call now. unique b."), (3, "call now. done.")],
+        ["doc_id", "text"],
+    )
+    out3 = {r["doc_id"]: r["text"] for r in
+            text.remove_boilerplate_lines(sdf, "doc_id", "text", min_doc_freq=3, delim=". ").collect()}
+    assert out3[1] == "unique a."

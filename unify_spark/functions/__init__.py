@@ -5,6 +5,7 @@ from unify_spark.functions.text import (  # noqa: F401
     normalized_duplicates,
     pii_counts,
     quality_features,
+    remove_boilerplate_lines,
     token_count,
     top_ngrams,
     with_pii,

@@ -245,6 +245,81 @@ def with_pii(df: DataFrame, text_col: str) -> DataFrame:
     return out
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_freq: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: a line occurring in ≥
+    ``min_doc_freq`` DISTINCT documents (nav bars, cookie banners, footer
+    text — the sub-document duplication whole-doc dedup can't see) is
+    dropped from EVERY document; all other lines keep their order. Returns
+    (id, cleaned text, n_lines, n_removed). ``delim`` generalizes to
+    sentence- or segment-level dedup.
+
+    Matching is on the trimmed line's md5; blank lines never count toward
+    doc frequency and are never removed (every doc has them — they'd all
+    be 'boilerplate'). Null text passes through as null.
+
+    Plan shape at 10^10 docs: lines explode once; doc-frequency is a
+    two-phase hash aggregate on the 16-byte line hash (count DISTINCT docs
+    per hash with a (hash, id) pre-distinct — never the line text); the
+    boilerplate set joins back by hash; reassembly is one groupBy(id) with
+    an array_sort(collect_list(struct(pos, line))) — order restored from
+    the captured position, no window."""
+    # F.split's separator is a Java regex — \Q...\E quotes the literal
+    # delimiter so ". " (sentence mode) doesn't match any-char + space
+    quoted = "\\Q" + delim + "\\E"
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(quoted), -1)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.trim(F.col("_line"))))
+
+    hot = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_h")
+    )
+    kept = lines.join(hot.withColumn("_hot", F.lit(True)), on="_h", how="left")
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(False)).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_hot").isNull(),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["_line"],
+                ),
+                delim,
+            ).alias("_cleaned"),
+        )
+    )
+    orig = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+    out = orig.join(rebuilt.withColumnRenamed("_id", id_col), on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        F.when(F.col("_orig").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_cleaned"), F.lit("")))
+        .alias(text_col),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+    )
+
+
 def top_ngrams(
     df: DataFrame, text_col: str, n: int = 2, k: int = 20
 ) -> DataFrame:
