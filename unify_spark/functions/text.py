@@ -144,11 +144,19 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_tokens = F.size(toks)
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
     n3 = n_tokens - 2
-    tris = F.transform(
-        F.sequence(F.lit(1), n3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
+    # trigrams via zip_with over three shifted slices — NOT element_at(toks,
+    # i) inside a transform lambda: an expression referenced INSIDE a HOF
+    # lambda is re-evaluated per element (the known Catalyst behavior the
+    # winnow fingerprints work around), which re-runs the regexp split
+    # n_tokens times per row (~20x wall on the documents table). The slices
+    # sit outside the lambdas, so the split evaluates O(1) times per row.
+    t12 = F.zip_with(
+        F.slice(toks, F.lit(1), n3),
+        F.slice(toks, F.lit(2), n3),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tris = F.zip_with(
+        t12, F.slice(toks, F.lit(3), n3), lambda ab, c: F.concat_ws(" ", ab, c)
     )
     return {
         "n_chars": n_chars,
