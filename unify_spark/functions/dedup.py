@@ -29,16 +29,28 @@ def exact_duplicates(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (pure expression:
-    split → sequence → transform → slice/join).
+    split → n shifted slices → iterated zip_with join).
 
-    Short-text guard: for texts with < n tokens, k < 1 and
-    ``sequence(1, 0)`` would count DOWN ([1, 0] — Spark picks step -1 when
-    start > stop), feeding slice() an illegal 0 start. Clamp the sequence
-    to one element and blank the result for short texts instead."""
+    Construction note: the grams are built by zip_with over n SHIFTED
+    SLICES of the token array, never by slice(toks, i, n) inside a
+    transform lambda — an expression referenced inside a HOF lambda is
+    re-evaluated per element (Catalyst's lambda semantics), which would
+    re-run the regexp split once per shingle per row and made the whole
+    shingle family (Jaccard/containment/minhash/top-ngrams) several times
+    slower. The slices sit outside the lambdas, so the split evaluates
+    O(n) times per row, independent of token count.
+
+    Short-text guard: texts with < n tokens (k < 1) emit an empty shingle
+    set; null text emits null."""
     toks = tokens(col)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))  # 1-based slice positions
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    grams = F.slice(toks, F.lit(1), F.greatest(k, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, F.lit(1 + j), F.greatest(k, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     empty = F.array().cast("array<string>")
     return (
         F.when(toks.isNull(), F.lit(None).cast("array<string>"))  # null in, null out
