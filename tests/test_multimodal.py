@@ -197,3 +197,39 @@ def test_audio_sidecars_single_pass_matches_separate(spark):
         assert combined.select(sc).exceptAll(segs).count() == 0
         assert segs.exceptAll(combined.select(sc)).count() == 0
         combined.unpersist()
+
+
+def test_clean_audio_corpus(spark):
+    """The audio corpus gate end-to-end on the fixture: undecodable and
+    silent/clipped clips are screened, exact-duplicate payloads keep one
+    row, counters reconcile, and good clips survive with their quality
+    columns attached."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.pipeline import clean_audio_corpus
+
+    with tempfile.TemporaryDirectory() as d:
+        from unify_spark.fixtures import generate_fixture
+
+        generate_fixture(d, n_rows=1000, n_parts=2)
+        clips = spark.read.parquet(f"{d}/clips")
+        # plant exact payload duplicates: re-id 10 clips
+        dup = (
+            clips.orderBy("clip_id").limit(10)
+            .withColumn("clip_id", F.concat(F.lit("dup-"), F.col("clip_id")))
+        )
+        both = clips.unionByName(dup)
+        n_input = both.count()
+
+        kept, rep = clean_audio_corpus(both, max_silence_ratio=0.99)
+        assert rep.n_input == n_input
+        assert rep.removed_quality > 0          # fixture injects bad payloads
+        assert rep.removed_duplicates >= 10     # the planted duplicates die
+        assert rep.n_kept == kept.count()
+        assert {"rms_db", "silence_ratio", "speech_ms"} <= set(kept.columns)
+        # duplicates resolve to ONE surviving row per payload, original id wins
+        survivors = {r["clip_id"] for r in kept.select("clip_id").collect()}
+        assert not any(s.startswith("dup-") for s in survivors)
+        kept.unpersist()

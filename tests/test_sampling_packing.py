@@ -547,3 +547,24 @@ def test_pack_grouped_exact_division_large_counts(spark):
     }
     assert out[1] == (0, 0)
     assert out[2] == (k - 1, 255)  # float division would report chunk k
+
+
+def test_cli_audio_clean(spark, tmp_path, capsys):
+    """The audio corpus gate end-to-end from the CLI on the fixture."""
+    import json
+
+    from unify_spark import cli
+    from unify_spark.fixtures import generate_fixture
+
+    data = str(tmp_path / "data")
+    generate_fixture(data, n_rows=1000, n_parts=2)
+    out = str(tmp_path / "kept")
+    rc = cli.main(["audio-clean", "--table", f"{data}/clips", "--out", out,
+                   "--max-silence-ratio", "0.99"])
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0
+    assert r["n_kept"] > 0 and r["removed_quality"] > 0
+    kept = spark.read.parquet(out)
+    assert kept.count() == r["n_kept"]
+    assert {"rms_db", "silence_ratio", "speech_ms"} <= set(kept.columns)

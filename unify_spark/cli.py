@@ -614,6 +614,60 @@ def cmd_audio_features(args) -> int:
     return 0
 
 
+def cmd_audio_clean(args) -> int:
+    """Audio corpus gate from the CLI: decode + quality screen + exact
+    payload dedup (functions/pipeline.py clean_audio_corpus); writes the
+    kept clips with quality columns attached. Knobs from corpus.audio_clean
+    in --config or flags."""
+    from unify_spark.functions.pipeline import clean_audio_corpus
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "audio_clean",
+        {
+            "id_col": "clip_id",
+            "bytes_col": "bytes",
+            "codec_col": "codec",
+            "sr_col": "sr_hz",
+            "threshold_dbfs": -40.0,
+            "max_silence_ratio": 0.95,
+            "max_clipping_ratio": 0.2,
+            "min_speech_ms": 0,
+        },
+    )
+    spark = get_spark("unify-audio-clean")
+    df = read_table(spark, args.table)
+    kept, report = clean_audio_corpus(
+        df,
+        id_col=knobs["id_col"],
+        bytes_col=knobs["bytes_col"],
+        codec_col=knobs["codec_col"],
+        sr_col=knobs["sr_col"],
+        threshold_dbfs=float(knobs["threshold_dbfs"]),
+        max_silence_ratio=float(knobs["max_silence_ratio"]),
+        max_clipping_ratio=float(knobs["max_clipping_ratio"]),
+        min_speech_ms=int(knobs["min_speech_ms"]),
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    kept.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_input": report.n_input,
+                "n_after_quality": report.n_after_quality,
+                "n_kept": report.n_kept,
+                "removed_quality": report.removed_quality,
+                "removed_duplicates": report.removed_duplicates,
+                "out": args.out,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_generate_fixture(args) -> int:
     from unify_spark.fixtures import generate_fixture
 
@@ -776,6 +830,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-gap-ms", dest="max_gap_ms", type=int)
     s.add_argument("--min-dur-ms", dest="min_dur_ms", type=int)
     s.set_defaults(fn=cmd_audio_features)
+
+    s = sub.add_parser(
+        "audio-clean", help="decode + quality gate + exact payload dedup for a clips table"
+    )
+    s.add_argument("--table", required=True, help="clips parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--config", help="YAML/JSON with a corpus.audio_clean section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--bytes-col", dest="bytes_col")
+    s.add_argument("--codec-col", dest="codec_col")
+    s.add_argument("--sr-col", dest="sr_col")
+    s.add_argument("--threshold-dbfs", dest="threshold_dbfs", type=float)
+    s.add_argument("--max-silence-ratio", dest="max_silence_ratio", type=float)
+    s.add_argument("--max-clipping-ratio", dest="max_clipping_ratio", type=float)
+    s.add_argument("--min-speech-ms", dest="min_speech_ms", type=int)
+    s.set_defaults(fn=cmd_audio_clean)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
     s.add_argument("--out", required=True)

@@ -109,3 +109,83 @@ def clean_corpus(
     # write/collect share one computation of the whole dedup pipeline
     kept = kept.persist()
     return kept, CleanReport(n_input, n_quality, kept.count())
+
+
+def clean_audio_corpus(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    max_silence_ratio: float = 0.95,
+    max_clipping_ratio: float = 0.2,
+    min_speech_ms: int = 0,
+    threshold_dbfs: float = -40.0,
+) -> tuple[DataFrame, CleanReport]:
+    """The audio sibling of ``clean_corpus``: gate a clips table on
+    decodability and signal quality, then drop exact-duplicate payloads —
+    the standard screen before a speech corpus feeds training.
+
+    1. **decode + quality gate** — one Arrow decode pass
+       (``audio_sidecars``: features AND activity segments from the same
+       decoded matrices) rejects undecodable rows (non-empty ``reason``),
+       dead air (``silence_ratio > max_silence_ratio``), clipped
+       recordings (``clipping_ratio > max_clipping_ratio``), and clips
+       with under ``min_speech_ms`` of detected speech;
+    2. **exact payload dedup** — md5 of the raw bytes, keep the
+       smallest-id row per digest (the bytes never shuffle: the digest
+       does, 16 bytes per clip, same two-phase shape as text dedup).
+
+    Returns (kept DataFrame with the quality columns attached, CleanReport
+    with the same counter semantics as the text pipeline). Near-duplicate
+    AUDIO (re-encodes, trims) is the embedding path's job —
+    ``embedding_dup_clusters`` over acoustic embeddings composes behind
+    this gate exactly like semantic text dedup.
+
+    Duplicate-id input (the state the uniqueness constraint reports): the
+    quality join uses one sidecar row per id, so row counts never inflate;
+    exact dedup keys on (id, payload digest), so an id's exact copies
+    collapse to one row and distinct-payload twins survive to be flagged
+    upstream — content-deterministic either way."""
+    from pyspark.sql import Window
+
+    from unify_spark.functions.multimodal import audio_sidecars
+
+    sidecars = audio_sidecars(
+        df, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col,
+        sr_col=sr_col, threshold_dbfs=threshold_dbfs,
+    ).select(
+        id_col, "rms_db", "clipping_ratio", "silence_ratio", "speech_ms", "reason"
+    ).dropDuplicates([id_col])  # metadata-sized; guards the join under dup ids
+    scored = df.join(sidecars, on=id_col, how="inner")
+    good_cond = (
+        (F.col("reason") == "")
+        & (F.col("silence_ratio") <= max_silence_ratio)
+        & (F.col("clipping_ratio") <= max_clipping_ratio)
+        & (F.col("speech_ms") >= min_speech_ms)
+    )
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(good_cond.cast("long")).alias("n_quality"),
+    ).first()
+    n_input, n_quality = counts["n_input"], int(counts["n_quality"] or 0)
+
+    good = scored.filter(good_cond).withColumn("_digest", F.md5(F.col(bytes_col)))
+    # two-phase exact dedup: only (id, 16-byte digest) flows through the
+    # window (slim.distinct collapses exact-copy rows); winners join back on
+    # (id, digest) — AQE broadcasts the slim winner set, so payload bytes
+    # stay put (the canonical_docs slim-projection shape)
+    slim = good.select(F.col(id_col), F.col("_digest")).distinct()
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    winners = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = (
+        good.join(winners, on=[id_col, "_digest"], how="left_semi")
+        .dropDuplicates([id_col, "_digest"])  # exact-copy rows: one survivor
+        .drop("_digest")
+        .persist()
+    )
+    return kept, CleanReport(n_input, n_quality, kept.count())

@@ -256,6 +256,7 @@ class CorpusConfig:
     clean: dict = field(default_factory=dict)
     embed_dedup: dict = field(default_factory=dict)
     audio: dict = field(default_factory=dict)
+    audio_clean: dict = field(default_factory=dict)
     raw: dict = field(default_factory=dict)
 
 
@@ -271,6 +272,10 @@ _CORPUS_KEYS = {
     "audio": {
         "id_col", "bytes_col", "codec_col", "sr_col", "threshold_dbfs",
         "max_gap_ms", "min_dur_ms",
+    },
+    "audio_clean": {
+        "id_col", "bytes_col", "codec_col", "sr_col", "threshold_dbfs",
+        "max_silence_ratio", "max_clipping_ratio", "min_speech_ms",
     },
 }
 
