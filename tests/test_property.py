@@ -186,3 +186,83 @@ def test_hash_sample_rate_bounds(ids):
     give genuinely different predicates on a big enough id set."""
     assert not any(_member(i, 0.0) for i in ids)
     assert all(_member(i, 1.0) for i in ids)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.integers(min_value=0, max_value=3_000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([60, 300, 900]),  # gap seconds
+)
+def test_sessionize_matches_python_reference(pspark, events, gap_s):
+    """session_window semantics vs a straight O(n) reference sessionizer:
+    per key, sort event times; a new session starts when the delta from the
+    previous event reaches the gap; session end = last event + gap. The
+    Spark rollup must agree on every (key, start, end, n_events)."""
+    from datetime import datetime, timedelta
+
+    from unify_spark.functions.sessions import sessionize
+
+    base = datetime(2025, 3, 1)
+    rows = [(k, base + timedelta(seconds=s)) for k, s in events]
+    df = pspark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, "ts", "user_id", gap=f"{gap_s} seconds").collect()
+    }
+
+    want = set()
+    by_key: dict = {}
+    for k, ts in rows:
+        by_key.setdefault(k, []).append(ts)
+    for k, times in by_key.items():
+        times.sort()
+        start, prev, n = times[0], times[0], 1
+        for t in times[1:]:
+            if (t - prev).total_seconds() >= gap_s:
+                want.add((k, start, prev + timedelta(seconds=gap_s), n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        want.add((k, start, prev + timedelta(seconds=gap_s), n))
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", ""]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_boilerplate_lines_matches_python_reference(pspark, docs, min_df):
+    """remove_boilerplate_lines vs an O(n) reference: count distinct-doc
+    frequency of each non-blank trimmed line; drop lines at/over the bar
+    from every doc, preserving order; blanks always survive."""
+    from collections import Counter
+
+    from unify_spark.functions.text import remove_boilerplate_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = pspark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_doc_freq=min_df).collect()
+    }
+
+    freq = Counter()
+    for _i, lines in enumerate(docs):
+        for ln in {l.strip() for l in lines if l.strip()}:
+            freq[ln] += 1
+    hot = {ln for ln, n in freq.items() if n >= min_df}
+    for i, lines in enumerate(docs):
+        want = "\n".join(l for l in lines if not (l.strip() and l.strip() in hot))
+        assert got[i] == want, (i, lines, got[i], want)
