@@ -568,3 +568,28 @@ def test_cli_audio_clean(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert kept.count() == r["n_kept"]
     assert {"rms_db", "silence_ratio", "speech_ms"} <= set(kept.columns)
+
+
+def test_pack_chunks_length_ordered(spark):
+    """order_col packs the stream by (length, id): token counts are
+    monotone in stream order, totals and chunk arithmetic are unchanged,
+    and the result is shard-invariant like the id-ordered form."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = packing.pack_chunks(df, "doc_id", "n_tok", budget=256,
+                              num_shards=6, order_col="n_tok").collect()
+    by_pos = sorted(out, key=lambda r: r["tok_before"])
+    lens = [r["n_tokens"] for r in by_pos]
+    assert lens == sorted(lens)                       # stream ordered by length
+    assert sum(lens) == sum(n for _, n in rows)       # nothing lost
+    for r in by_pos:                                  # arithmetic holds
+        assert r["chunk_id"] == r["tok_before"] // 256
+        assert r["chunk_offset"] == r["tok_before"] % 256
+    out2 = packing.pack_chunks(df, "doc_id", "n_tok", budget=256,
+                               num_shards=17, order_col="n_tok")
+    a = {(r["doc_id"], r["tok_before"]) for r in out}
+    b = {(r["doc_id"], r["tok_before"]) for r in out2.collect()}
+    assert a == b                                     # shard-invariant

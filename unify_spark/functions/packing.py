@@ -45,11 +45,15 @@ def pack_chunks(
     tokens_col: str,
     budget: int,
     num_shards: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, tok_before, chunk_id, chunk_offset) for every row of
-    ``df``, global order by ``id_col``. ``num_shards`` defaults to the
-    session's shuffle partitions. Null token counts count as 0 (the row
-    still occupies a slot in the order).
+    ``df``, global order by ``id_col`` — or by ``(order_col, id_col)`` when
+    ``order_col`` is given (the padding-minimization trick: ordering the
+    stream by document length packs similar-length docs into the same
+    chunks, so straddle splits waste less; ties stay deterministic via the
+    id). ``num_shards`` defaults to the session's shuffle partitions. Null
+    token counts count as 0 (the row still occupies a slot in the order).
 
     Contract: ``id_col`` must be unique — ties would make the order among
     tied rows (and therefore their tok_before) partitioning-dependent, the
@@ -58,13 +62,18 @@ def pack_chunks(
     spark = df.sparkSession
     p = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    slim = df.select(
+    cols = [
         F.col(id_col).alias("_pack_id"),
         F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
-    )
+    ]
+    sort_keys = ["_pack_id"]
+    if order_col is not None:
+        cols.append(F.col(order_col).alias("_pack_ord"))
+        sort_keys = ["_pack_ord", "_pack_id"]
+    slim = df.select(*cols)
     sharded = (
-        slim.repartitionByRange(p, "_pack_id")
-        .sortWithinPartitions("_pack_id")
+        slim.repartitionByRange(p, *sort_keys)
+        .sortWithinPartitions(*sort_keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -101,7 +110,7 @@ def pack_chunks(
                 tok_before=before,
                 chunk_id=before // b,
                 chunk_offset=before % b,
-            ).drop(columns=["_pid"])
+            ).drop(columns=[c for c in ("_pid", "_pack_ord") if c in pdf.columns])
 
     out = sharded.mapInPandas(add_prefix, out_schema)
     # the persisted slim frame is what keeps the two phases' partition ids
