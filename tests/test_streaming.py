@@ -285,3 +285,52 @@ def test_sessionize_gap_semantics(spark):
     b = got[("u1", 30)]
     assert b["n_events"] == 1 and b["duration_s"] == 5 * 60
     assert got[("u2", 1)]["n_events"] == 1
+
+
+def test_sessionize_under_structured_streaming(spark, tmp_path):
+    """The SAME sessionize() call runs under readStream with a watermark
+    (complete/update-mode session state machine) and produces the batch
+    result — pinning the module's batch ≡ streaming claim end-to-end."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.sessions import sessionize
+
+    t = lambda m: datetime(2025, 2, 1, 9, m)  # noqa: E731
+    rows = [
+        ("u1", t(0), 1.0), ("u1", t(2), 2.0), ("u1", t(30), 3.0),
+        ("u2", t(5), 4.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id string, ts timestamp, value double").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    out = sessionize(
+        stream, "ts", "user_id", gap="5 minutes",
+        agg_exprs=[F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute, r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"].minute, r["n_events"], r["sum_value"])
+        for r in sessionize(
+            spark.read.parquet(src), "ts", "user_id", gap="5 minutes",
+            agg_exprs=[F.round(F.sum("value"), 4).alias("sum_value")],
+        ).collect()
+    }
+    assert got == batch == {("u1", 0, 2, 3.0), ("u1", 30, 1, 3.0), ("u2", 5, 1, 4.0)}
