@@ -155,8 +155,9 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     native state machine (identical expression under Structured Streaming
     with a watermark). The oracle re-derives sessions with the classic
     lag/cumsum construction; matching rows pin Spark's merge semantics
-    (session end = last event + gap, new session when the gap is
-    reached). duration_s is excluded from the compare (engine-specific
+    (session end = last event + gap; a new session starts only when the
+    inter-event delta EXCEEDS the gap — events exactly gap apart merge,
+    their windows touch). duration_s is excluded from the compare (engine-specific
     epoch truncation); n_events/sum_value/start/end carry the content."""
     from unify_spark.functions.sessions import sessionize
 
@@ -1050,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (
               SELECT user_id, ts, value,
                      CASE WHEN LAG(ts) OVER w IS NULL
-                           OR ts - LAG(ts) OVER w >= INTERVAL '6 hours'
+                           OR ts - LAG(ts) OVER w > INTERVAL '6 hours'
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -203,8 +203,10 @@ def test_hash_sample_rate_bounds(ids):
 def test_sessionize_matches_python_reference(pspark, events, gap_s):
     """session_window semantics vs a straight O(n) reference sessionizer:
     per key, sort event times; a new session starts when the delta from the
-    previous event reaches the gap; session end = last event + gap. The
-    Spark rollup must agree on every (key, start, end, n_events)."""
+    previous event EXCEEDS the gap (two events exactly gap apart still
+    merge — their [t, t+gap) windows touch, and Spark merges touching
+    windows; hypothesis found this boundary); session end = last event +
+    gap. The Spark rollup must agree on every (key, start, end, n_events)."""
     from datetime import datetime, timedelta
 
     from unify_spark.functions.sessions import sessionize
@@ -225,7 +227,7 @@ def test_sessionize_matches_python_reference(pspark, events, gap_s):
         times.sort()
         start, prev, n = times[0], times[0], 1
         for t in times[1:]:
-            if (t - prev).total_seconds() >= gap_s:
+            if (t - prev).total_seconds() > gap_s:
                 want.add((k, start, prev + timedelta(seconds=gap_s), n))
                 start, n = t, 0
             prev = t
