@@ -233,3 +233,68 @@ def test_clean_audio_corpus(spark):
         survivors = {r["clip_id"] for r in kept.select("clip_id").collect()}
         assert not any(s.startswith("dup-") for s in survivors)
         kept.unpersist()
+
+
+def _tone_clip(sr, seed, f0, f1, f2, seconds=2.0):
+    import numpy as np
+
+    t = np.arange(int(sr * seconds)) / sr
+    rng = np.random.default_rng(seed)
+    x = (0.4 * np.sin(2 * np.pi * f0 * t)
+         + 0.3 * np.sin(2 * np.pi * f1 * t * (1 + 0.1 * t))
+         + 0.2 * np.sin(2 * np.pi * f2 * t)
+         + 0.02 * rng.standard_normal(len(t)))
+    return (x / np.abs(x).max() * 20000).astype("<i2")
+
+
+def test_audio_near_dup_across_codecs_and_gain(spark):
+    """The acoustic-fingerprint dedup contract: the SAME recording under a
+    different codec (pcm16 vs mu-law vs the 12-bit lossy stand-in) or at
+    half gain is a near-dup candidate; different recordings are not; the
+    fingerprint is deterministic."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import (
+        audio_fingerprints,
+        audio_near_dup_candidates,
+    )
+
+    sr = 16000
+    a = _tone_clip(sr, 1, 440, 700, 1200)
+    b = _tone_clip(sr, 2, 523, 880, 1500)
+    c = _tone_clip(sr, 3, 330, 950, 1700)
+    half = (a.astype(np.float64) * 0.5).astype("<i2")
+    rows = [
+        ("a-wav", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-ulaw", pcm.encode(a, "ulaw"), "ulaw", sr),
+        ("a-mp3", pcm.encode(a, "mp3"), "mp3", sr),
+        ("a-half", pcm.encode(half, "pcm_s16le"), "pcm_s16le", sr),
+        ("b-wav", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+        ("c-wav", pcm.encode(c, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5).collect()
+    }
+    a_family = {"a-wav", "a-ulaw", "a-mp3", "a-half"}
+    for p in pairs:
+        assert set(p) <= a_family, f"false positive: {p}"
+    # every codec/gain variant of `a` pairs with the wav original
+    for other in ["a-ulaw", "a-mp3", "a-half"]:
+        assert tuple(sorted(("a-wav", other))) in pairs
+    assert not any("b-wav" in p or "c-wav" in p for p in pairs)
+
+    # determinism
+    f1 = sorted((r["clip_id"], tuple(r["fps"])) for r in audio_fingerprints(df).collect())
+    f2 = sorted((r["clip_id"], tuple(r["fps"])) for r in audio_fingerprints(df).collect())
+    assert f1 == f2
+    # short clip: reasoned, not crashed
+    short = spark.createDataFrame(
+        [("s", pcm.encode(a[:100], "pcm_s16le"), "pcm_s16le", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    r = audio_fingerprints(short).first()
+    assert r["n_frames"] == 0 and "too short" in r["reason"]

@@ -50,6 +50,10 @@ from unify_spark.functions.graph import (  # noqa: F401
 )
 from unify_spark.functions.pipeline import clean_corpus  # noqa: F401
 from unify_spark.functions.sessions import sessionize  # noqa: F401
+from unify_spark.functions.audio_dedup import (  # noqa: F401
+    audio_fingerprints,
+    audio_near_dup_candidates,
+)
 from unify_spark.functions.multimodal import (  # noqa: F401
     audio_features,
     audio_segments,
