@@ -298,3 +298,35 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
     )
     r = audio_fingerprints(short).first()
     assert r["n_frames"] == 0 and "too short" in r["reason"]
+
+
+def test_cli_audio_dedup(spark, tmp_path, capsys):
+    """Acoustic near-dup pairs end-to-end from the CLI: a mu-law re-encode
+    of a clip pairs with its wav original."""
+    import json
+
+    import numpy as np
+
+    from unify_spark import cli
+    from unify_spark.audio import pcm
+
+    sr = 16000
+    a = _tone_clip(sr, 7, 392, 660, 1100)
+    b = _tone_clip(sr, 8, 494, 830, 1600)
+    rows = [
+        ("orig", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("reenc", pcm.encode(a, "ulaw"), "ulaw", sr),
+        ("other", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    src = str(tmp_path / "clips")
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "pairs")
+    rc = cli.main(["audio-dedup", "--table", src, "--out", out])
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0 and r["n_pairs"] == 1
+    p = spark.read.parquet(out).first()
+    assert {p["id_a"], p["id_b"]} == {"orig", "reenc"}

@@ -668,6 +668,62 @@ def cmd_audio_clean(args) -> int:
     return 0
 
 
+def cmd_audio_dedup(args) -> int:
+    """Near-duplicate audio from the CLI: acoustic-fingerprint candidate
+    pairs (functions/audio_dedup.py) — the same recording under a
+    different codec/gain surfaces; knobs from corpus.audio_dedup in
+    --config or flags."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.audio_dedup import audio_near_dup_candidates
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "audio_dedup",
+        {
+            "id_col": "clip_id",
+            "bytes_col": "bytes",
+            "codec_col": "codec",
+            "sr_col": "sr_hz",
+            "frame_ms": 64,
+            "n_bands": 17,
+            "min_shared": 5,
+            "max_fp_freq": 10_000,
+        },
+    )
+    spark = get_spark("unify-audio-dedup")
+    df = read_table(spark, args.table)
+    out = audio_near_dup_candidates(
+        df,
+        id_col=knobs["id_col"],
+        bytes_col=knobs["bytes_col"],
+        codec_col=knobs["codec_col"],
+        sr_col=knobs["sr_col"],
+        frame_ms=int(knobs["frame_ms"]),
+        n_bands=int(knobs["n_bands"]),
+        min_shared=int(knobs["min_shared"]),
+        max_fp_freq=int(knobs["max_fp_freq"]),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    pairs = spark.read.parquet(args.out)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_a").alias("n_left"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_pairs": row["n_pairs"],
+                "n_clips_with_dup": row["n_left"],
+                "min_shared": int(knobs["min_shared"]),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_generate_fixture(args) -> int:
     from unify_spark.fixtures import generate_fixture
 
@@ -830,6 +886,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-gap-ms", dest="max_gap_ms", type=int)
     s.add_argument("--min-dur-ms", dest="min_dur_ms", type=int)
     s.set_defaults(fn=cmd_audio_features)
+
+    s = sub.add_parser(
+        "audio-dedup", help="acoustic-fingerprint near-duplicate pairs for a clips table"
+    )
+    s.add_argument("--table", required=True, help="clips parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--config", help="YAML/JSON with a corpus.audio_dedup section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--bytes-col", dest="bytes_col")
+    s.add_argument("--codec-col", dest="codec_col")
+    s.add_argument("--sr-col", dest="sr_col")
+    s.add_argument("--frame-ms", dest="frame_ms", type=int)
+    s.add_argument("--n-bands", dest="n_bands", type=int)
+    s.add_argument("--min-shared", dest="min_shared", type=int)
+    s.add_argument("--max-fp-freq", dest="max_fp_freq", type=int)
+    s.set_defaults(fn=cmd_audio_dedup)
 
     s = sub.add_parser(
         "audio-clean", help="decode + quality gate + exact payload dedup for a clips table"

@@ -257,6 +257,7 @@ class CorpusConfig:
     embed_dedup: dict = field(default_factory=dict)
     audio: dict = field(default_factory=dict)
     audio_clean: dict = field(default_factory=dict)
+    audio_dedup: dict = field(default_factory=dict)
     raw: dict = field(default_factory=dict)
 
 
@@ -276,6 +277,10 @@ _CORPUS_KEYS = {
     "audio_clean": {
         "id_col", "bytes_col", "codec_col", "sr_col", "threshold_dbfs",
         "max_silence_ratio", "max_clipping_ratio", "min_speech_ms",
+    },
+    "audio_dedup": {
+        "id_col", "bytes_col", "codec_col", "sr_col", "frame_ms", "n_bands",
+        "min_shared", "max_fp_freq",
     },
 }
 
