@@ -330,3 +330,37 @@ def test_cli_audio_dedup(spark, tmp_path, capsys):
     assert rc == 0 and r["n_pairs"] == 1
     p = spark.read.parquet(out).first()
     assert {p["id_a"], p["id_b"]} == {"orig", "reenc"}
+
+
+def test_clean_audio_corpus_with_near_dup_stage(spark):
+    """Full audio pipeline: gate → exact payload dedup → acoustic near-dup
+    clustering. A mu-law re-encode survives exact dedup (different bytes)
+    but collapses in the fingerprint stage; distinct recordings survive."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.pipeline import clean_audio_corpus
+
+    sr = 16000
+    a = _tone_clip(sr, 21, 392, 660, 1100)
+    b = _tone_clip(sr, 22, 494, 830, 1600)
+    rows = [
+        ("a-orig", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-reenc", pcm.encode(a, "ulaw"), "ulaw", sr),
+        ("a-copy", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),  # exact dup bytes
+        ("b-orig", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    kept, rep = clean_audio_corpus(df, near_dup_min_shared=5)
+    ids = {r["clip_id"] for r in kept.select("clip_id").collect()}
+    kept.unpersist()
+    assert rep.n_input == 4 and rep.removed_quality == 0
+    assert ids == {"a-copy", "b-orig"}  # min-id canonical per acoustic cluster
+    assert rep.removed_duplicates == 2  # exact copy + re-encode both collapsed
+
+    # without the stage, the re-encode survives (different bytes)
+    kept2, rep2 = clean_audio_corpus(df)
+    ids2 = {r["clip_id"] for r in kept2.select("clip_id").collect()}
+    kept2.unpersist()
+    assert ids2 == {"a-copy", "a-reenc", "b-orig"} and rep2.removed_duplicates == 1

@@ -634,6 +634,7 @@ def cmd_audio_clean(args) -> int:
             "max_silence_ratio": 0.95,
             "max_clipping_ratio": 0.2,
             "min_speech_ms": 0,
+            "near_dup_min_shared": None,
         },
     )
     spark = get_spark("unify-audio-clean")
@@ -648,6 +649,10 @@ def cmd_audio_clean(args) -> int:
         max_silence_ratio=float(knobs["max_silence_ratio"]),
         max_clipping_ratio=float(knobs["max_clipping_ratio"]),
         min_speech_ms=int(knobs["min_speech_ms"]),
+        near_dup_min_shared=(
+            None if knobs["near_dup_min_shared"] is None
+            else int(knobs["near_dup_min_shared"])
+        ),
     )
     kept.write.mode("overwrite").parquet(args.out)
     kept.unpersist()
@@ -917,6 +922,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-silence-ratio", dest="max_silence_ratio", type=float)
     s.add_argument("--max-clipping-ratio", dest="max_clipping_ratio", type=float)
     s.add_argument("--min-speech-ms", dest="min_speech_ms", type=int)
+    s.add_argument("--near-dup-min-shared", dest="near_dup_min_shared", type=int,
+                   help="enable the acoustic near-dup collapse stage")
     s.set_defaults(fn=cmd_audio_clean)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")

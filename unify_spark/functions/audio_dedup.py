@@ -168,3 +168,36 @@ def audio_near_dup_candidates(
             (F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b"))).alias("overlap"),
         )
     )
+
+
+def audio_dup_clusters(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    frame_ms: int = 64,
+    n_bands: int = 17,
+    min_shared: int = 5,
+    max_fp_freq: int | None = 10000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster) over acoustic near-dup candidates via the same
+    pointer-doubling connected components the text and embedding paths use
+    — re-encode families collapse into one cluster; clips with no
+    near-dup edge keep their own id (singletons)."""
+    from unify_spark.functions.graph import connected_components
+
+    pairs = audio_near_dup_candidates(
+        df, id_col, bytes_col, codec_col, sr_col,
+        frame_ms, n_bands, min_shared, max_fp_freq,
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(cc, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster"),
+        )
+    )

@@ -121,6 +121,7 @@ def clean_audio_corpus(
     max_clipping_ratio: float = 0.2,
     min_speech_ms: int = 0,
     threshold_dbfs: float = -40.0,
+    near_dup_min_shared: int | None = None,
 ) -> tuple[DataFrame, CleanReport]:
     """The audio sibling of ``clean_corpus``: gate a clips table on
     decodability and signal quality, then drop exact-duplicate payloads —
@@ -137,10 +138,13 @@ def clean_audio_corpus(
        does, 16 bytes per clip, same two-phase shape as text dedup).
 
     Returns (kept DataFrame with the quality columns attached, CleanReport
-    with the same counter semantics as the text pipeline). Near-duplicate
-    AUDIO (re-encodes, trims) is the embedding path's job —
-    ``embedding_dup_clusters`` over acoustic embeddings composes behind
-    this gate exactly like semantic text dedup.
+    with the same counter semantics as the text pipeline). With
+    ``near_dup_min_shared`` set, a third stage collapses acoustic
+    near-duplicates (the SAME recording under a different codec or gain —
+    ``audio_dup_clusters``' Haitsma–Kalker fingerprints → connected
+    components) keeping the smallest id per cluster; embedding-space
+    near-dups (``embedding_dup_clusters`` over acoustic embeddings)
+    compose behind this gate the same way.
 
     Duplicate-id input (the state the uniqueness constraint reports): the
     quality join uses one sidecar row per id, so row counts never inflate;
@@ -186,6 +190,19 @@ def clean_audio_corpus(
         good.join(winners, on=[id_col, "_digest"], how="left_semi")
         .dropDuplicates([id_col, "_digest"])  # exact-copy rows: one survivor
         .drop("_digest")
-        .persist()
     )
+    if near_dup_min_shared is not None:
+        from unify_spark.functions.audio_dedup import audio_dup_clusters
+
+        clusters = audio_dup_clusters(
+            kept, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col,
+            sr_col=sr_col, min_shared=near_dup_min_shared,
+        )
+        canon = (
+            clusters.groupBy("cluster")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        kept = kept.join(canon, on=id_col, how="left_semi")
+    kept = kept.persist()
     return kept, CleanReport(n_input, n_quality, kept.count())

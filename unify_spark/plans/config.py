@@ -277,6 +277,7 @@ _CORPUS_KEYS = {
     "audio_clean": {
         "id_col", "bytes_col", "codec_col", "sr_col", "threshold_dbfs",
         "max_silence_ratio", "max_clipping_ratio", "min_speech_ms",
+        "near_dup_min_shared",
     },
     "audio_dedup": {
         "id_col", "bytes_col", "codec_col", "sr_col", "frame_ms", "n_bands",
