@@ -292,3 +292,46 @@ def test_vector_constraint_from_config(spark):
     )
     assert cfg.constraints[0].name == "vector:embeddings.embedding"
     assert cfg.constraints[0].dim == 64
+
+
+def test_derived_range_constraint(spark):
+    """Cross-column expression range: transcript chars-per-second of audio
+    must be plausible for speech; NULL operands are skipped; the fused
+    row_predicates path reports the same violations as the staged path."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import DerivedRangeConstraint
+
+    rows = [
+        ("c1", "a" * 150, 10_000),   # 15 chars/s: fine
+        ("c2", "a" * 2000, 2_000),   # 1000 chars/s: implausible
+        ("c3", "ab", 10_000),        # 0.2 chars/s: implausible
+        ("c4", None, 5_000),         # null transcript: skipped
+        ("c5", "a" * 50, None),      # null duration: skipped
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms long")
+    c = DerivedRangeConstraint(
+        "clips", "length(transcript) / (dur_ms / 1000.0)",
+        min_value=1.0, max_value=30.0, name="chars_per_sec",
+    )
+    vio = {r["key"]: float(r["observed"]) for r in
+           c.violations({"clips": df}, ValidationContext()).collect()}
+    assert set(vio) == {"c2", "c3"}
+    assert vio["c2"] == 1000.0 and vio["c3"] == 0.2
+
+    preds = c.row_predicates(ValidationContext())
+    assert len(preds) == 1
+    cond, label, _obs, _desc = preds[0]
+    fused = {r["clip_id"] for r in df.filter(cond).collect()}
+    assert fused == {"c2", "c3"} and label == "chars_per_sec"
+
+
+def test_derived_range_from_config(spark):
+    from unify_spark.plans.config import parse_suite_config
+
+    cfg = parse_suite_config(
+        {"tables": {"clips": "/x"},
+         "constraints": [{"type": "derived_range", "table": "clips",
+                          "expr": "length(transcript) / (dur_ms / 1000.0)",
+                          "min": 1, "max": 30, "name": "chars_per_sec"}]}
+    )
+    assert cfg.constraints[0].name == "derived_range:clips.chars_per_sec"

@@ -257,6 +257,73 @@ class RangeConstraint(Constraint):
         return [(c.isNotNull() & ~ok, self.column, c, desc)]
 
 
+class DerivedRangeConstraint(Constraint):
+    """Range check over a derived SQL EXPRESSION rather than a raw column —
+    the cross-column sanity screens a single-column range can't say:
+    transcript chars per second of audio (``length(transcript) /
+    (dur_ms / 1000.0)`` in ~[1, 30] for speech), bytes-per-sample
+    consistency, ratio/velocity invariants generally. The expression
+    compiles into the same fused row-local scan as every other predicate
+    (pure Column expression via F.expr — no UDF), so the added checks are
+    free at scan time; the violation row reports the evaluated expression
+    value as ``observed``.
+
+    NULL expression results (either operand null, or a try-division by
+    zero) are skipped like every range check skips nulls — Required/
+    AnyPresent own nullness."""
+
+    partition_local = True
+
+    def __init__(
+        self,
+        table: str,
+        expr: str,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        name: str | None = None,
+    ):
+        if min_value is None and max_value is None:
+            raise ValueError("derived_range needs min and/or max")
+        self.table = table
+        self.expr = expr
+        self.min_value = min_value
+        self.max_value = max_value
+        self.label = name or expr
+        self.name = f"derived_range:{table}.{self.label}"
+
+    def _ok_expr(self):
+        e = F.expr(self.expr)
+        ok = F.lit(True)
+        desc = []
+        if self.min_value is not None:
+            ok = ok & (e >= self.min_value)
+            desc.append(f">={self.min_value}")
+        if self.max_value is not None:
+            ok = ok & (e <= self.max_value)
+            desc.append(f"<={self.max_value}")
+        return e, ok, f"{self.expr} " + " and ".join(desc)
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        e, ok, desc = self._ok_expr()
+        bad = df.filter(e.isNotNull() & ~ok)
+        key = "clip_id" if "clip_id" in df.columns else df.columns[0]
+        return make_violations(
+            bad,
+            constraint=self.name,
+            table=self.table,
+            key=key,
+            column=self.label,
+            observed=e,
+            expected=desc,
+            part=ctx.part_col if ctx.part_col in df.columns else None,
+        )
+
+    def row_predicates(self, ctx):
+        e, ok, desc = self._ok_expr()
+        return [(e.isNotNull() & ~ok, self.label, e, desc)]
+
+
 class RequiredConstraint(Constraint):
     """Required (non-null) columns — one violation row per missing cell.
 

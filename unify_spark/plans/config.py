@@ -39,6 +39,8 @@ Schema (YAML or JSON — chosen by file extension):
       - {type: upsert_conflict, table: t, keys: [k], compare: [v1, v2]}
       - {type: payload, table: clips, reference_table: reference_decode}
       - {type: drift, table: clips, column: dur_ms, bounds: [0, 30000]}
+      - {type: derived_range, table: clips, name: chars_per_sec,
+         expr: "length(transcript) / (dur_ms / 1000.0)", min: 1, max: 30}
 """
 
 from __future__ import annotations
@@ -117,6 +119,16 @@ def _build_constraint(spec: dict) -> Constraint:
             allowed=spec.get("allowed"),
             dim_table=spec.get("dim_table"),
             dim_key=spec.get("dim_key"),
+        )
+    if t == "derived_range":
+        from unify_spark.operators.constraints import DerivedRangeConstraint
+
+        return DerivedRangeConstraint(
+            spec["table"],
+            spec["expr"],
+            min_value=spec.get("min"),
+            max_value=spec.get("max"),
+            name=spec.get("name"),
         )
     if t == "range":
         return RangeConstraint(
