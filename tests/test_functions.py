@@ -753,3 +753,29 @@ def test_remove_boilerplate_lines(spark):
     out3 = {r["doc_id"]: r["text"] for r in
             text.remove_boilerplate_lines(sdf, "doc_id", "text", min_doc_freq=3, delim=". ").collect()}
     assert out3[1] == "unique a."
+
+
+def test_clean_corpus_boilerplate_stage(spark):
+    """Stage-0 boilerplate removal composes: a shared footer line is
+    stripped BEFORE the quality gate, so a doc that only passed the token
+    floor because of boilerplate now fails it (the C4 ordering)."""
+    from unify_spark.functions.pipeline import clean_corpus
+
+    footer = " ".join(f"foot{i}" for i in range(10))
+    rows = [
+        (1, "\n".join([" ".join(f"tok{i}" for i in range(20)), footer])),
+        (2, "\n".join(["short line", footer])),     # only boilerplate bulk
+        (3, "\n".join([" ".join(f"oth{i}" for i in range(20)), footer])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, rep = clean_corpus(df, min_tokens=6, boilerplate_min_df=3)
+    ids = {r["doc_id"] for r in kept.collect()}
+    kept.unpersist()
+    assert ids == {1, 3}           # doc 2 dies once its footer is stripped
+    assert rep.removed_quality == 1
+
+    # without the stage the footer carries doc 2 past the floor
+    kept2, rep2 = clean_corpus(df, min_tokens=6)
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    kept2.unpersist()
+    assert 2 in ids2 and rep2.removed_quality == 0

@@ -311,6 +311,7 @@ def cmd_corpus_clean(args) -> int:
             "min_tokens": 5,
             "max_punct_ratio": 0.3,
             "max_tok_rep_ratio": None,
+            "boilerplate_min_df": None,
             "min_est_jaccard": 0.5,
         },
     )
@@ -324,6 +325,10 @@ def cmd_corpus_clean(args) -> int:
         min_tokens=int(knobs["min_tokens"]),
         max_punct_ratio=float(knobs["max_punct_ratio"]),
         max_tok_rep_ratio=None if rep is None else float(rep),
+        boilerplate_min_df=(
+            None if knobs["boilerplate_min_df"] is None
+            else int(knobs["boilerplate_min_df"])
+        ),
         min_est_jaccard=float(knobs["min_est_jaccard"]),
     )
     kept.write.mode("overwrite").parquet(args.out)
@@ -815,6 +820,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--min-tokens", dest="min_tokens", type=int)
     s.add_argument("--max-punct-ratio", dest="max_punct_ratio", type=float)
     s.add_argument("--max-tok-rep-ratio", dest="max_tok_rep_ratio", type=float)
+    s.add_argument("--boilerplate-min-df", dest="boilerplate_min_df", type=int,
+                   help="strip lines appearing in >= N docs before the gate")
     s.add_argument("--min-est-jaccard", dest="min_est_jaccard", type=float)
     s.set_defaults(fn=cmd_corpus_clean)
 

@@ -43,6 +43,7 @@ def clean_corpus(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
     max_tok_rep_ratio: float | None = None,
+    boilerplate_min_df: int | None = None,
     min_est_jaccard: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
@@ -50,6 +51,10 @@ def clean_corpus(
 ) -> tuple[DataFrame, CleanReport]:
     """Quality-gate, dedup, and canonicalize a document corpus.
 
+    0. (optional, ``boilerplate_min_df``) line-level boilerplate removal —
+       lines in >= N distinct docs stripped from every doc BEFORE anything
+       scores it (the C4 ordering: boilerplate otherwise inflates token
+       counts past the quality floor and pollutes the shingle space);
     1. quality gate: token floor + punctuation-ratio cap + optional
        Gopher-style repeated-token-fraction cap (``max_tok_rep_ratio`` —
        boilerplate/keyword-stuffing screen; pure Column expressions, fold
@@ -69,6 +74,11 @@ def clean_corpus(
     exactly once whether or not the caller writes the result afterwards.
     The caller owns ``kept.unpersist()`` once done with the frame.
     """
+    if boilerplate_min_df is not None:
+        cleaned = text_fns.remove_boilerplate_lines(
+            df, id_col, text_col, min_doc_freq=boilerplate_min_df
+        ).select(id_col, text_col)
+        df = df.drop(text_col).join(cleaned, on=id_col, how="inner")
     feats = text_fns.quality_features(text_col)
     scored = df.withColumn("_n_tokens", feats["n_tokens"]).withColumn(
         "_punct", feats["punct_ratio"]

@@ -276,7 +276,7 @@ class CorpusConfig:
 _CORPUS_KEYS = {
     "clean": {
         "id_col", "text_col", "min_tokens", "max_punct_ratio",
-        "max_tok_rep_ratio", "min_est_jaccard",
+        "max_tok_rep_ratio", "boilerplate_min_df", "min_est_jaccard",
     },
     "embed_dedup": {
         "id_col", "vec_col", "dim", "threshold", "n_planes", "n_bands",
