@@ -51,6 +51,7 @@ from unify_spark.functions.graph import (  # noqa: F401
 from unify_spark.functions.pipeline import clean_corpus  # noqa: F401
 from unify_spark.functions.sessions import sessionize  # noqa: F401
 from unify_spark.functions.audio_dedup import (  # noqa: F401
+    audio_dup_clusters,
     audio_fingerprints,
     audio_near_dup_candidates,
 )
