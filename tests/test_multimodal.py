@@ -297,7 +297,7 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
         "clip_id string, bytes binary, codec string, sr_hz int",
     )
     r = audio_fingerprints(short).first()
-    assert r["n_frames"] == 0 and "too short" in r["reason"]
+    assert r["n_frames"] == 0 and "no fingerprint" in r["reason"]
 
 
 def test_cli_audio_dedup(spark, tmp_path, capsys):
@@ -327,7 +327,7 @@ def test_cli_audio_dedup(spark, tmp_path, capsys):
     rc = cli.main(["audio-dedup", "--table", src, "--out", out])
     o = capsys.readouterr().out
     r = json.loads(o[o.index("{"):])
-    assert rc == 0 and r["n_pairs"] == 1
+    assert rc == 0 and r["n_pairs"] == 1 and r["n_clips_with_dup"] == 2
     p = spark.read.parquet(out).first()
     assert {p["id_a"], p["id_b"]} == {"orig", "reenc"}
 
@@ -364,3 +364,41 @@ def test_clean_audio_corpus_with_near_dup_stage(spark):
     ids2 = {r["clip_id"] for r in kept2.select("clip_id").collect()}
     kept2.unpersist()
     assert ids2 == {"a-copy", "a-reenc", "b-orig"} and rep2.removed_duplicates == 1
+
+
+def test_audio_features_threshold_moves_silence_gate(spark):
+    """threshold_dbfs must drive silence_ratio, not just the VAD: a quiet
+    (-50 dBFS) tone is 'silent' at the -40 default but NOT at -60."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    quiet = (np.sin(2 * np.pi * 440 * t) * 32768 * 10 ** (-50 / 20)).astype("<i2")
+    df = spark.createDataFrame(
+        [("q", pcm.encode(quiet, "pcm_s16le"), "pcm_s16le", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    at40 = audio_features(df).first()["silence_ratio"]
+    at60 = audio_features(df, threshold_dbfs=-60.0).first()["silence_ratio"]
+    assert at40 > 0.9 and at60 < 0.1
+
+
+def test_audio_fingerprints_low_sample_rate_guard(spark):
+    """Sample rates below the 300-2000 Hz band range emit no fingerprint
+    with a reason instead of garbage band assignments."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_fingerprints
+
+    sr = 500
+    x = (np.sin(np.arange(sr * 2) * 0.1) * 20000).astype("<i2")
+    df = spark.createDataFrame(
+        [("lo", pcm.encode(x, "pcm_s16le"), "pcm_s16le", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    r = audio_fingerprints(df).first()
+    assert r["n_frames"] == 0 and "no fingerprint" in r["reason"]

@@ -717,15 +717,19 @@ def cmd_audio_dedup(args) -> int:
     )
     out.write.mode("overwrite").parquet(args.out)
     pairs = spark.read.parquet(args.out)
-    row = pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("id_a").alias("n_left"),
-    ).first()
+    n_pairs = pairs.count()
+    # clips-with-a-duplicate counts BOTH sides of each pair
+    n_dup = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
     print(
         json.dumps(
             {
-                "n_pairs": row["n_pairs"],
-                "n_clips_with_dup": row["n_left"],
+                "n_pairs": n_pairs,
+                "n_clips_with_dup": n_dup,
                 "min_shared": int(knobs["min_shared"]),
                 "out": args.out,
             }

@@ -40,7 +40,10 @@ def _hk_bits_batch(x, sr: int, frame_ms: int, n_bands: int):
     frame = max(int(sr * frame_ms / 1000), 2)
     m, n = x.shape
     nf = n // frame
-    if nf < 2:
+    # geomspace(300, fmax) must ascend: below ~602 Hz sample rate the band
+    # range collapses and searchsorted over a descending array would
+    # assign garbage bands — emit no fingerprint instead
+    if nf < 2 or min(2000.0, sr / 2.0 - 1) <= 300.0:
         return [np.zeros(0, dtype=np.int64) for _ in range(m)]
     fr = x[:, : nf * frame].reshape(m, nf, frame)
     spec = np.abs(np.fft.rfft(fr, axis=2))  # (m, nf, frame//2+1)
@@ -102,7 +105,10 @@ def audio_fingerprints(
                 for row, i in enumerate(ii):
                     arr = packs[row]
                     if len(arr) == 0:
-                        reason[i] = "too short for fingerprint (< 2 frames)"
+                        reason[i] = (
+                            "no fingerprint (under 2 frames or sample rate "
+                            "below the 300-2000 Hz band range)"
+                        )
                     fps[i] = [int(v) for v in arr]
                     nfr[i] = len(arr)
             yield pd.DataFrame(

@@ -249,9 +249,11 @@ def _segment_group(x, sr, thr, max_gap_ms, min_dur_ms):
     return out
 
 
-def _feature_group(dec, x, sr, out, ii):
+def _feature_group(dec, x, sr, out, ii, silence_thr=10.0 ** (-40.0 / 20.0)):
     """Write one decoded group's quality-feature arrays into the
-    batch-level ``out`` dict at row positions ``ii``."""
+    batch-level ``out`` dict at row positions ``ii``. ``silence_thr`` is
+    the linear RMS threshold for the silence_ratio frames (defaults to
+    -40 dBFS; callers expose it as threshold_dbfs)."""
     rms = np.sqrt(np.mean(x * x, axis=1))
     out["rms_db"][ii] = 20.0 * np.log10(np.maximum(rms, 1e-10))
     out["peak"][ii] = np.abs(x).max(axis=1)
@@ -262,11 +264,11 @@ def _feature_group(dec, x, sr, out, ii):
     # samples this metric exists to count
     out["clipping_ratio"][ii] = (np.abs(dec.astype(np.int32)) >= 32767).mean(axis=1)
     out["dc_offset"][ii] = x.mean(axis=1)
-    # silence: RMS per 10 ms frame (sr/100 samples) < -40 dBFS; clips
+    # silence: RMS per 10 ms frame (sr/100 samples) < silence_thr; clips
     # shorter than one frame score as a single frame
     frame = max(sr // 100, 1)
     nf = x.shape[1] // frame
-    thr = 10.0 ** (-40.0 / 20.0)
+    thr = silence_thr
     if nf >= 1:
         fr = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
         frms = np.sqrt((fr * fr).mean(axis=2))
@@ -361,6 +363,7 @@ def audio_features(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    threshold_dbfs: float = -40.0,
 ) -> "DataFrame":
     """REAL audio feature extraction (unlike the image/video stubs, the
     audio codecs are implemented in-repo): decode each payload and emit
@@ -380,6 +383,7 @@ def audio_features(
     (fail-at-end). Need segments too? ``audio_sidecars`` computes both
     from ONE decode pass."""
     schema = f"{id_col} string, {_FEATURE_SCHEMA}, reason string"
+    sil_thr = 10.0 ** (threshold_dbfs / 20.0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,7 +395,7 @@ def audio_features(
             for sr, ii, dec, x in _decode_group_iter(
                 pdf, bytes_col, codec_col, sr_col, reason
             ):
-                _feature_group(dec, x, sr, out, ii)
+                _feature_group(dec, x, sr, out, ii, sil_thr)
             out["reason"] = reason
             yield pd.DataFrame(out)
 
@@ -434,7 +438,10 @@ def audio_sidecars(
             for sr, ii, dec, x in _decode_group_iter(
                 pdf, bytes_col, codec_col, sr_col, reason
             ):
-                _feature_group(dec, x, sr, out, ii)
+                # one threshold drives BOTH silence_ratio and the VAD —
+                # a caller loosening threshold_dbfs moves the dead-air
+                # gate too, not just speech_ms
+                _feature_group(dec, x, sr, out, ii, thr)
                 spans = _segment_group(x, sr, thr, max_gap_ms, min_dur_ms)
                 for row, i in enumerate(ii):
                     segs[i] = spans[row]

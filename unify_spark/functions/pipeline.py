@@ -77,7 +77,10 @@ def clean_corpus(
     if boilerplate_min_df is not None:
         cleaned = text_fns.remove_boilerplate_lines(
             df, id_col, text_col, min_doc_freq=boilerplate_min_df
-        ).select(id_col, text_col)
+        ).select(id_col, text_col).dropDuplicates([id_col])
+        # one cleaned row per id: duplicate-id input (the state the
+        # uniqueness constraint reports) must not multiply rows through
+        # the join — same guard as the audio sibling's sidecar join
         df = df.drop(text_col).join(cleaned, on=id_col, how="inner")
     feats = text_fns.quality_features(text_col)
     scored = df.withColumn("_n_tokens", feats["n_tokens"]).withColumn(
@@ -170,7 +173,10 @@ def clean_audio_corpus(
         sr_col=sr_col, threshold_dbfs=threshold_dbfs,
     ).select(
         id_col, "rms_db", "clipping_ratio", "silence_ratio", "speech_ms", "reason"
-    ).dropDuplicates([id_col])  # metadata-sized; guards the join under dup ids
+    ).dropDuplicates([id_col]).persist()
+    # persisted: metadata-sized, and BOTH the counter aggregate and the
+    # kept-branch (plus the winners sub-branch) re-derive it — without the
+    # cache each action re-runs the dominant PCM decode
     scored = df.join(sidecars, on=id_col, how="inner")
     good_cond = (
         (F.col("reason") == "")
@@ -215,4 +221,6 @@ def clean_audio_corpus(
         )
         kept = kept.join(canon, on=id_col, how="left_semi")
     kept = kept.persist()
-    return kept, CleanReport(n_input, n_quality, kept.count())
+    n_kept = kept.count()
+    sidecars.unpersist()  # kept is materialized; the decode cache can go
+    return kept, CleanReport(n_input, n_quality, n_kept)

@@ -45,7 +45,18 @@ class AuditLog:
         self.spark = spark
         self.path = path
 
+    def _catalog_table(self) -> bool:
+        """True when the audit target is an Iceberg catalog identifier AND a
+        catalog is configured — reads and writes must agree on the route
+        (an append to the catalog that resume later reads from the
+        filesystem would silently forget every completed stage)."""
+        from unify_spark.sources import iceberg as ice
+
+        return ice.is_table_identifier(self.path) and ice.iceberg_enabled(self.spark)
+
     def _exists(self) -> bool:
+        if self._catalog_table():
+            return self.spark.catalog.tableExists(self.path)
         return os.path.exists(self.path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
         )
@@ -53,6 +64,8 @@ class AuditLog:
     def read(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
+        if self._catalog_table():
+            return self.spark.table(self.path)
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
 
     def append(self, rows: list[dict], max_retries: int = 5, backoff_s: float = 0.2) -> None:
@@ -112,7 +125,7 @@ class AuditLog:
         )
         from unify_spark.sources import iceberg as ice
 
-        if ice.is_table_identifier(self.path) and ice.iceberg_enabled(self.spark):
+        if self._catalog_table():
             # catalog path: append the same rows to the Iceberg audit table
             # (sources/iceberg.py) — snapshot-isolated, retraction becomes
             # DELETE WHERE run_id, and time travel serves the drift baseline
@@ -123,18 +136,24 @@ class AuditLog:
         os.makedirs(self.path, exist_ok=True)
         pq.write_table(tbl, os.path.join(self.path, f"audit-{batch}.parquet"))
 
+    def _read_columns(self, columns: list[str]) -> list[tuple]:
+        """Column-pruned driver-side read of the whole audit table: pyarrow
+        over the parquet directory (no Spark job — audit is metadata-sized),
+        or a Spark read when the audit lives in an Iceberg catalog table."""
+        if self._catalog_table():
+            return [tuple(r) for r in self.spark.table(self.path).select(*columns).collect()]
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(self.path, format="parquet").to_table(columns=columns)
+        return list(zip(*(tbl.column(c).to_pylist() for c in columns)))
+
     def completed_constraints(self, run_id: str) -> set[str]:
         """Stage keys already finished for this run (the resume filter) —
         read driver-side (audit is tiny; no Spark job needed)."""
         if not self._exists():
             return set()
-        import pyarrow.dataset as ds
-
-        tbl = ds.dataset(self.path, format="parquet").to_table(
-            columns=["run_id", "constraint", "status"]
-        )
         out = set()
-        for rid, c, s in zip(*(tbl.column(c).to_pylist() for c in tbl.column_names)):
+        for rid, c, s in self._read_columns(["run_id", "constraint", "status"]):
             if rid == run_id and s == "done":
                 out.add(c)
         return out
@@ -148,14 +167,11 @@ class AuditLog:
         grain. Driver-side read (audit is metadata-sized)."""
         if not self._exists():
             return {}
-        import pyarrow.dataset as ds
-
-        tbl = ds.dataset(self.path, format="parquet").to_table(
-            columns=["run_id", "constraint", "part", "status", "violation_count", "ts"]
+        rows = self._read_columns(
+            ["run_id", "constraint", "part", "status", "violation_count", "ts"]
         )
-        cols = [tbl.column(c).to_pylist() for c in ["run_id", "constraint", "part", "status", "violation_count", "ts"]]
         best: dict[tuple[str, str | None], tuple[str, int, float]] = {}
-        for rid, c, p, s, n, ts in zip(*cols):
+        for rid, c, p, s, n, ts in rows:
             if rid != run_id or s not in ("pass", "fail"):
                 continue
             k = (c, p)

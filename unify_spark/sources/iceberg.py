@@ -34,10 +34,17 @@ def iceberg_catalogs(spark: SparkSession, confs: dict | None = None) -> list[str
     if confs is None:
         try:
             confs = dict(spark.sparkContext.getConf().getAll())
+            # runtime-set confs (spark.conf.set after session start) are NOT
+            # in the context conf — merge the explicitly-set SQL confs too,
+            # or a notebook-configured catalog would silently go undetected
+            for r in spark.sql("SET").collect():
+                confs.setdefault(r["key"], r["value"])
         except Exception:  # pragma: no cover - conf always reachable in practice
-            confs = {}
+            confs = confs if isinstance(confs, dict) else {}
     for k, v in list(confs.items()):
-        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+        # catalog keys are spark.sql.catalog.<name> (3 dots); deeper keys
+        # (…<name>.type etc) configure, not declare, a catalog
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in str(v).lower():
             out.append(k.rsplit(".", 1)[1])
     return sorted(set(out))
 
@@ -50,10 +57,15 @@ def iceberg_enabled(spark: SparkSession, catalog: str | None = None) -> bool:
 
 
 def is_table_identifier(path_or_name: str) -> bool:
-    """The read_table dispatch rule: catalog table identifiers have no
-    path separators or file suffixes."""
+    """The storage dispatch rule: a catalog table identifier is dotted
+    (``catalog.db.table``) with no path separators or file suffixes. The
+    dot is REQUIRED — a bare relative directory name like ``audit_out``
+    must keep routing to the filesystem even when a catalog happens to be
+    configured (misrouting it to ``writeTo`` would fail every local
+    workflow that worked before the catalog appeared)."""
     return (
         "/" not in path_or_name
+        and "." in path_or_name
         and not path_or_name.endswith((".parquet", ".csv", ".tsv"))
     )
 
@@ -66,9 +78,12 @@ def merge_sql(table: str, keys: list[str], columns: list[str], source: str = "_s
     sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
     cols = ", ".join(columns)
     vals = ", ".join(f"s.{c}" for c in columns)
+    # all-key tables have nothing to UPDATE — an empty SET clause is a
+    # parse error, so degrade to insert-if-absent
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {table} t USING {source} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
 
@@ -84,7 +99,12 @@ def append_rows(spark: SparkSession, df: DataFrame, target: str) -> None:
     a catalog identifier and a catalog is configured, else parquet-dir
     append (the shim used throughout this sandbox)."""
     if is_table_identifier(target) and iceberg_enabled(spark):
-        df.writeTo(target).append()
+        # first-ever append must CREATE the table — append() alone throws
+        # NoSuchTableException on a fresh catalog
+        if spark.catalog.tableExists(target):
+            df.writeTo(target).append()
+        else:
+            df.writeTo(target).create()
     else:
         df.write.mode("append").parquet(target)
 
