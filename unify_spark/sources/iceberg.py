@@ -25,13 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def iceberg_catalogs(spark: SparkSession, confs: dict | None = None) -> list[str]:
+_CATALOG_CACHE: dict[int, list[str]] = {}
+
+
+def iceberg_catalogs(
+    spark: SparkSession, confs: dict | None = None, refresh: bool = False
+) -> list[str]:
     """Names of configured Iceberg catalogs (``spark.sql.catalog.<name>``
     pointing at an Iceberg SparkCatalog/SparkSessionCatalog class).
     ``confs`` overrides the session conf for unit-testing the detection
-    rule without a catalog-configured session."""
+    rule without a catalog-configured session.
+
+    The session probe (context conf + SET for runtime-set keys) costs
+    ~100 ms, so the result is CACHED per session — catalogs configured
+    after the first probe need ``refresh=True`` (or configuration before
+    first storage use, the normal deployment order)."""
     out = []
+    cache_key = None
     if confs is None:
+        cache_key = id(spark)
+        if not refresh and cache_key in _CATALOG_CACHE:
+            return _CATALOG_CACHE[cache_key]
         try:
             confs = dict(spark.sparkContext.getConf().getAll())
             # runtime-set confs (spark.conf.set after session start) are NOT
@@ -46,7 +60,10 @@ def iceberg_catalogs(spark: SparkSession, confs: dict | None = None) -> list[str
         # (…<name>.type etc) configure, not declare, a catalog
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in str(v).lower():
             out.append(k.rsplit(".", 1)[1])
-    return sorted(set(out))
+    result = sorted(set(out))
+    if cache_key is not None:  # cache only the session-probe path
+        _CATALOG_CACHE[cache_key] = result
+    return result
 
 
 def iceberg_enabled(spark: SparkSession, catalog: str | None = None) -> bool:
