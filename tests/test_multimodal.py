@@ -402,3 +402,28 @@ def test_audio_fingerprints_low_sample_rate_guard(spark):
     )
     r = audio_fingerprints(df).first()
     assert r["n_frames"] == 0 and "no fingerprint" in r["reason"]
+
+
+def test_audio_near_dup_across_sample_rates(spark):
+    """Sample-rate normalization: the same recording at 16 kHz and its
+    8 kHz decimated re-upload fingerprint-match after the resample step."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_near_dup_candidates
+
+    a16 = _tone_clip(16000, 31, 392, 660, 1100)
+    a8 = a16[::2]                                  # naive 8 kHz re-upload
+    b16 = _tone_clip(16000, 32, 494, 830, 1600)
+    rows = [
+        ("a16", pcm.encode(a16, "pcm_s16le"), "pcm_s16le", 16000),
+        ("a8", pcm.encode(a8, "pcm_s16le"), "pcm_s16le", 8000),
+        ("b16", pcm.encode(b16, "pcm_s16le"), "pcm_s16le", 16000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5).collect()
+    }
+    assert ("a16", "a8") in pairs or ("a8", "a16") in pairs
+    assert not any("b16" in p for p in pairs)

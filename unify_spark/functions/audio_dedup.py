@@ -32,6 +32,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _linear_resample_batch(x, sr_from: int, sr_to: int):
+    """Vectorized linear-interpolation resample of an (m, n) PCM matrix —
+    enough to normalize sample rates before fingerprinting (the bands only
+    reach 2 kHz, far under any practical Nyquist; a production pipeline
+    would polyphase-filter first)."""
+    import numpy as np
+
+    n_in = x.shape[1]
+    n_out = max(int(round(n_in * sr_to / sr_from)), 1)
+    pos = np.arange(n_out) * (sr_from / sr_to)
+    i0 = np.floor(pos).astype(np.int64)
+    i0 = np.minimum(i0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = pos - i0
+    return x[:, i0] * (1.0 - frac) + x[:, i1] * frac
+
+
 def _hk_bits_batch(x, sr: int, frame_ms: int, n_bands: int):
     """(m, n_samples) float PCM → list of per-clip int64 arrays of packed
     (n_bands-1)-bit sub-fingerprints, one per frame."""
@@ -77,11 +94,17 @@ def audio_fingerprints(
     sr_col: str = "sr_hz",
     frame_ms: int = 64,
     n_bands: int = 17,
+    target_sr: int | None = 16000,
 ) -> DataFrame:
     """(id, fps array<bigint>, n_frames, reason): the per-frame packed
     sub-fingerprint sequence for every decodable clip. Same (codec,
     byte-length, sr) Arrow decode grouping as audio_features; clips too
-    short for two frames emit an empty sequence with a reason."""
+    short for two frames emit an empty sequence with a reason.
+
+    ``target_sr``: sample rates are NORMALIZED (vectorized linear resample)
+    before framing, so the same recording re-uploaded at a different rate —
+    a common duplicate mode — still lands on matching sub-fingerprints;
+    None fingerprints each clip at its native rate."""
     import pandas as pd
 
     from unify_spark.functions.multimodal import _decode_group_iter
@@ -101,6 +124,9 @@ def audio_fingerprints(
             for sr, ii, _dec, x in _decode_group_iter(
                 pdf, bytes_col, codec_col, sr_col, reason
             ):
+                if target_sr is not None and sr != target_sr:
+                    x = _linear_resample_batch(x, sr, target_sr)
+                    sr = target_sr
                 packs = _hk_bits_batch(x, sr, frame_ms, n_bands)
                 for row, i in enumerate(ii):
                     arr = packs[row]
@@ -134,6 +160,7 @@ def audio_near_dup_candidates(
     n_bands: int = 17,
     min_shared: int = 5,
     max_fp_freq: int | None = 10000,
+    target_sr: int | None = 16000,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, overlap): clip pairs sharing ≥ ``min_shared``
     exact sub-fingerprints — the same recording under a different codec /
@@ -148,7 +175,7 @@ def audio_near_dup_candidates(
     from unify_spark.functions.dedup import _drop_hot_buckets
 
     fps = audio_fingerprints(
-        df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands
+        df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands, target_sr
     ).filter(F.col("n_frames") > 0)
     sh = fps.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct("fps")).alias("fp")
