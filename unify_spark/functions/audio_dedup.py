@@ -124,6 +124,15 @@ def audio_fingerprints(
             for sr, ii, _dec, x in _decode_group_iter(
                 pdf, bytes_col, codec_col, sr_col, reason
             ):
+                if sr / 2.0 - 1 <= 300.0:
+                    # the ORIGINAL rate bounds the content bandwidth:
+                    # resampling a sub-600 Hz-rate clip upward cannot put
+                    # real energy into the 300-2000 Hz bands
+                    reason[np.array(ii)] = (
+                        "no fingerprint (sample rate below the 300-2000 Hz "
+                        "band range)"
+                    )
+                    continue
                 if target_sr is not None and sr != target_sr:
                     x = _linear_resample_batch(x, sr, target_sr)
                     sr = target_sr
