@@ -427,3 +427,71 @@ def test_audio_near_dup_across_sample_rates(spark):
     }
     assert ("a16", "a8") in pairs or ("a8", "a16") in pairs
     assert not any("b16" in p for p in pairs)
+
+
+def test_audio_near_dup_time_offset(spark):
+    """Time-offset robustness (the dominant real dup transform after
+    re-encode): the same recording with 50-150 ms of leading audio trimmed
+    or silence added still pairs with the original. The overlapping-frame
+    hop grid (hop_ms=8 < frame_ms=64) is what makes this work — with the
+    legacy non-overlapping layout (hop_ms=None) every frame misaligns and
+    the pair vanishes, which this test also pins so the regression is
+    visible from both sides."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_near_dup_candidates
+
+    sr = 16000
+    a = _tone_clip(sr, 41, 440, 700, 1200)
+    b = _tone_clip(sr, 42, 523, 880, 1500)
+    trim = a[int(sr * 0.100):]                      # 100 ms trimmed re-upload
+    pad = np.concatenate(                            # 150 ms leading silence
+        [np.zeros(int(sr * 0.150), dtype=a.dtype), a]
+    )
+    rows = [
+        ("a", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-trim", pcm.encode(trim, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-pad", pcm.encode(pad, "pcm_s16le"), "pcm_s16le", sr),
+        ("b", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5).collect()
+    }
+    assert ("a", "a-trim") in pairs
+    assert ("a", "a-pad") in pairs
+    # distinct-signal zero-FP pin survives the denser fingerprints
+    assert not any("b" in p for p in pairs)
+
+    # counterfactual: the non-overlapping grid misses the offset dups
+    legacy = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5, hop_ms=None).collect()
+    }
+    assert ("a", "a-trim") not in legacy and ("a", "a-pad") not in legacy
+
+
+def test_audio_dup_clusters_non_default_target_sr(spark):
+    """audio_dup_clusters reaches target_sr/hop_ms through to its candidate
+    generator: an 8 kHz corpus clustered AT 8 kHz (no resample) still
+    collapses a mu-law re-encode family into one cluster and keeps the
+    distinct signal a singleton."""
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_dup_clusters
+
+    sr = 8000
+    a = _tone_clip(sr, 51, 440, 700, 1200)
+    b = _tone_clip(sr, 52, 523, 880, 1500)
+    rows = [
+        ("a-wav", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-ulaw", pcm.encode(a, "ulaw"), "ulaw", sr),
+        ("b-wav", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r["clip_id"]: r["cluster"] for r in
+           audio_dup_clusters(df, min_shared=5, target_sr=sr).collect()}
+    assert got["a-wav"] == got["a-ulaw"]
+    assert got["b-wav"] != got["a-wav"]

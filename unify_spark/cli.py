@@ -700,6 +700,8 @@ def cmd_audio_dedup(args) -> int:
             "n_bands": 17,
             "min_shared": 5,
             "max_fp_freq": 10_000,
+            "target_sr": 16_000,
+            "hop_ms": 16,
         },
     )
     spark = get_spark("unify-audio-dedup")
@@ -714,6 +716,8 @@ def cmd_audio_dedup(args) -> int:
         n_bands=int(knobs["n_bands"]),
         min_shared=int(knobs["min_shared"]),
         max_fp_freq=int(knobs["max_fp_freq"]),
+        target_sr=(None if knobs["target_sr"] is None else int(knobs["target_sr"])),
+        hop_ms=(None if knobs["hop_ms"] is None else int(knobs["hop_ms"])),
     )
     out.write.mode("overwrite").parquet(args.out)
     pairs = spark.read.parquet(args.out)

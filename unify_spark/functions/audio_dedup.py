@@ -49,20 +49,27 @@ def _linear_resample_batch(x, sr_from: int, sr_to: int):
     return x[:, i0] * (1.0 - frac) + x[:, i1] * frac
 
 
-def _hk_bits_batch(x, sr: int, frame_ms: int, n_bands: int):
+def _hk_bits_batch(x, sr: int, frame_ms: int, n_bands: int, hop_ms: int | None = None):
     """(m, n_samples) float PCM → list of per-clip int64 arrays of packed
-    (n_bands-1)-bit sub-fingerprints, one per frame."""
+    (n_bands-1)-bit sub-fingerprints, one per frame START (frames advance by
+    ``hop_ms``, overlapping when hop < frame — HK overlaps 31/32 for exactly
+    this reason: a time shift then misaligns frames by at most hop/2, so
+    most sub-fingerprints survive a trim/pad; ``hop_ms=None`` keeps the
+    legacy non-overlapping hop = frame layout)."""
     import numpy as np
 
     frame = max(int(sr * frame_ms / 1000), 2)
+    hop = frame if hop_ms is None else min(max(int(sr * hop_ms / 1000), 1), frame)
     m, n = x.shape
-    nf = n // frame
+    nf = (n - frame) // hop + 1 if n >= frame else 0
     # geomspace(300, fmax) must ascend: below ~602 Hz sample rate the band
     # range collapses and searchsorted over a descending array would
     # assign garbage bands — emit no fingerprint instead
     if nf < 2 or min(2000.0, sr / 2.0 - 1) <= 300.0:
         return [np.zeros(0, dtype=np.int64) for _ in range(m)]
-    fr = x[:, : nf * frame].reshape(m, nf, frame)
+    # strided view: (m, nf, frame) overlapping frames with zero copy; the
+    # rfft materializes (m, nf, frame//2+1) — the only overlap-factor cost
+    fr = np.lib.stride_tricks.sliding_window_view(x, frame, axis=1)[:, ::hop, :]
     spec = np.abs(np.fft.rfft(fr, axis=2))  # (m, nf, frame//2+1)
 
     # log-spaced band edges over [300 Hz, min(2000, sr/2)) — the HK band
@@ -95,6 +102,7 @@ def audio_fingerprints(
     frame_ms: int = 64,
     n_bands: int = 17,
     target_sr: int | None = 16000,
+    hop_ms: int | None = 8,
 ) -> DataFrame:
     """(id, fps array<bigint>, n_frames, reason): the per-frame packed
     sub-fingerprint sequence for every decodable clip. Same (codec,
@@ -104,7 +112,21 @@ def audio_fingerprints(
     ``target_sr``: sample rates are NORMALIZED (vectorized linear resample)
     before framing, so the same recording re-uploaded at a different rate —
     a common duplicate mode — still lands on matching sub-fingerprints;
-    None fingerprints each clip at its native rate."""
+    None fingerprints each clip at its native rate.
+
+    ``hop_ms``: frame-start stride. The default 8 ms (frame/8 overlap)
+    buys time-offset robustness: a re-upload trimmed or padded by e.g.
+    100 ms misaligns the legacy non-overlapping grid completely, but with
+    an 8 ms hop the duplicate's frames land within 4 ms of an original
+    frame start — most sign-of-energy-difference bits survive, so the pair
+    still shares exact sub-fingerprints (measured worst case over
+    30-200 ms offsets: 24 shared sub-fps vs the min_shared=5 default at
+    hop 8; 4 at hop 16; ~1 without overlap). Cost is ~frame/hop more rfft
+    frames per clip (measured in BENCH/BASELINE.md). For very long clips
+    raise ``min_shared`` or threshold on the size-normalized ``overlap``
+    score downstream — denser fingerprints raise the chance-collision
+    floor of exact 16-bit sub-fp matching. ``hop_ms=None`` restores the
+    non-overlapping hop = frame layout."""
     import pandas as pd
 
     from unify_spark.functions.multimodal import _decode_group_iter
@@ -136,7 +158,7 @@ def audio_fingerprints(
                 if target_sr is not None and sr != target_sr:
                     x = _linear_resample_batch(x, sr, target_sr)
                     sr = target_sr
-                packs = _hk_bits_batch(x, sr, frame_ms, n_bands)
+                packs = _hk_bits_batch(x, sr, frame_ms, n_bands, hop_ms)
                 for row, i in enumerate(ii):
                     arr = packs[row]
                     if len(arr) == 0:
@@ -170,10 +192,13 @@ def audio_near_dup_candidates(
     min_shared: int = 5,
     max_fp_freq: int | None = 10000,
     target_sr: int | None = 16000,
+    hop_ms: int | None = 8,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, overlap): clip pairs sharing ≥ ``min_shared``
     exact sub-fingerprints — the same recording under a different codec /
-    gain / container surfaces here while unrelated audio does not.
+    gain / container, at a different rate, or trimmed/padded by a small
+    time offset (the overlapping-frame ``hop_ms`` grid) surfaces here
+    while unrelated audio does not.
     ``overlap`` = n_shared / min(frame counts), a containment-style score.
 
     Scale shape: the winnow/Jaccard capped-join skeleton — DISTINCT
@@ -184,7 +209,7 @@ def audio_near_dup_candidates(
     from unify_spark.functions.dedup import _drop_hot_buckets
 
     fps = audio_fingerprints(
-        df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands, target_sr
+        df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands, target_sr, hop_ms
     ).filter(F.col("n_frames") > 0)
     sh = fps.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct("fps")).alias("fp")
@@ -223,16 +248,20 @@ def audio_dup_clusters(
     min_shared: int = 5,
     max_fp_freq: int | None = 10000,
     max_iter: int = 50,
+    target_sr: int | None = 16000,
+    hop_ms: int | None = 8,
 ) -> DataFrame:
     """(id, cluster) over acoustic near-dup candidates via the same
     pointer-doubling connected components the text and embedding paths use
     — re-encode families collapse into one cluster; clips with no
-    near-dup edge keep their own id (singletons)."""
+    near-dup edge keep their own id (singletons). ``target_sr``/``hop_ms``
+    reach through to the candidate generator so a corpus fingerprinted at a
+    non-default rate or frame grid clusters consistently."""
     from unify_spark.functions.graph import connected_components
 
     pairs = audio_near_dup_candidates(
         df, id_col, bytes_col, codec_col, sr_col,
-        frame_ms, n_bands, min_shared, max_fp_freq,
+        frame_ms, n_bands, min_shared, max_fp_freq, target_sr, hop_ms,
     )
     cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     return (
