@@ -159,6 +159,39 @@ def test_decontaminate_flags_benchmark_leakage(spark):
     assert strict.count() == 0
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle join must plan as a BroadcastHashJoin under
+    the default broadcast_bench=True (an explicit hint — AQE alone would
+    sort-merge and shuffle the full corpus shingle explosion when runtime
+    stats are missing), and fall back to a shuffle join when disabled."""
+    import io
+    from contextlib import redirect_stdout
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(f"w3_{j}" for j in range(12)))], ["qid", "question"]
+    )
+
+    def plan_of(broadcast_bench):
+        out = dedup.decontaminate(
+            corpus, bench, "doc_id", "text",
+            bench_id_col="qid", bench_text_col="question", n=8,
+            broadcast_bench=broadcast_bench,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain()
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in plan_of(True)
+    # the hint is what carries it: tiny in-memory relations have no stats,
+    # so without the hint Catalyst plans the shingle join as sort-merge
+    assert "BroadcastHashJoin" not in plan_of(False)
+
+
 def test_clean_corpus_repetition_gate(spark):
     """max_tok_rep_ratio screens boilerplate: a spam doc passes the token
     floor and punct cap but dies on the repetition gate; None disables."""

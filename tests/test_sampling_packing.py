@@ -370,6 +370,39 @@ def test_cli_corpus_clean(spark, tmp_path, capsys):
     assert kept == {2, 4}  # doc 2 wins its cluster (more tokens than doc 1)
 
 
+def test_cli_corpus_clean_decontaminates(spark, tmp_path, capsys):
+    """End-to-end decontamination stage inside corpus-clean: a planted
+    eval-set leak passes the quality gate but is provably absent from the
+    kept output, counted under removed_decontaminated (not as a dup)."""
+    import json
+
+    from unify_spark import cli
+
+    q = " ".join(f"eval{j}" for j in range(12))
+    src = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    rows = [
+        (1, "intro " + q + " outro"),                      # leaked
+        (2, " ".join(f"clean{j}" for j in range(30))),     # clean
+        (3, "short"),                                      # quality-gated
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    spark.createDataFrame([(9, q)], ["qid", "question"]).write.parquet(bench)
+
+    out = str(tmp_path / "clean")
+    rc = cli.main([
+        "corpus-clean", "--table", src, "--out", out, "--min-tokens", "6",
+        "--benchmark", bench, "--bench-id-col", "qid",
+        "--bench-text-col", "question",
+    ])
+    r = json.loads((o := capsys.readouterr().out)[o.index("{"):])
+    assert rc == 0
+    assert r["n_input"] == 3 and r["removed_quality"] == 1
+    assert r["removed_decontaminated"] == 1 and r["removed_duplicates"] == 0
+    kept = {x["doc_id"] for x in spark.read.parquet(out).collect()}
+    assert kept == {2}  # the leak is gone, the clean doc survives
+
+
 def test_cli_corpus_decontaminate(spark, tmp_path, capsys):
     """Leakage screen from the CLI: a corpus doc quoting a benchmark item
     is flagged and written; summary JSON counts pairs and distinct docs."""

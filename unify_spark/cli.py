@@ -313,11 +313,21 @@ def cmd_corpus_clean(args) -> int:
             "max_tok_rep_ratio": None,
             "boilerplate_min_df": None,
             "min_est_jaccard": 0.5,
+            "benchmark": None,
+            "bench_id_col": None,
+            "bench_text_col": None,
+            "decontaminate_n": 8,
+            "decontaminate_min_overlap": 1,
         },
     )
     spark = get_spark("unify-corpus-clean")
     df = read_table(spark, args.table)
     rep = knobs["max_tok_rep_ratio"]
+    bench = (
+        read_table(spark, knobs["benchmark"])
+        if knobs["benchmark"] is not None
+        else None
+    )
     kept, report = clean_corpus(
         df,
         id_col=knobs["id_col"],
@@ -330,6 +340,11 @@ def cmd_corpus_clean(args) -> int:
             else int(knobs["boilerplate_min_df"])
         ),
         min_est_jaccard=float(knobs["min_est_jaccard"]),
+        benchmark=bench,
+        bench_id_col=knobs["bench_id_col"],
+        bench_text_col=knobs["bench_text_col"],
+        decontaminate_n=int(knobs["decontaminate_n"]),
+        decontaminate_min_overlap=int(knobs["decontaminate_min_overlap"]),
     )
     kept.write.mode("overwrite").parquet(args.out)
     kept.unpersist()
@@ -340,6 +355,7 @@ def cmd_corpus_clean(args) -> int:
                 "n_after_quality": report.n_after_quality,
                 "n_kept": report.n_kept,
                 "removed_quality": report.removed_quality,
+                "removed_decontaminated": report.n_decontaminated,
                 "removed_duplicates": report.removed_duplicates,
                 "out": args.out,
             },
@@ -831,6 +847,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--boilerplate-min-df", dest="boilerplate_min_df", type=int,
                    help="strip lines appearing in >= N docs before the gate")
     s.add_argument("--min-est-jaccard", dest="min_est_jaccard", type=float)
+    s.add_argument("--benchmark", dest="benchmark",
+                   help="eval-set parquet: drop docs with n-gram overlap "
+                        "(decontamination stage)")
+    s.add_argument("--bench-id-col", dest="bench_id_col")
+    s.add_argument("--bench-text-col", dest="bench_text_col")
+    s.add_argument("--decontaminate-n", dest="decontaminate_n", type=int)
+    s.add_argument("--decontaminate-min-overlap", dest="decontaminate_min_overlap",
+                   type=int)
     s.set_defaults(fn=cmd_corpus_clean)
 
     s = sub.add_parser("corpus-sample", help="deterministic hash sampling (rate/strata/quota)")

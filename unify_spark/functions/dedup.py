@@ -375,6 +375,7 @@ def decontaminate(
     n: int = 8,
     min_overlap: int = 1,
     max_shingle_freq: int | None = 10000,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Training-data decontamination: flag corpus documents sharing ≥
     ``min_overlap`` token ``n``-grams with any benchmark/eval document —
@@ -386,10 +387,14 @@ def decontaminate(
     Scale shape — the asymmetric sibling of ngram_jaccard_pairs' self-join:
     shingles explode on BOTH sides, the (usually tiny) benchmark side joins
     the corpus side on the shingle. The benchmark's distinct shingle set is
-    the natural broadcast candidate at real scale (thousands of eval docs
-    vs 10^10 corpus docs); the hot-shingle cap drops boilerplate grams that
-    contribute candidates quadratically but no leakage signal. Drop flagged
-    ids with a left_anti join on doc_id."""
+    the natural broadcast side at real scale (thousands of eval docs vs
+    10^10 corpus docs), and ``broadcast_bench=True`` HINTS it explicitly —
+    relying on AQE alone sort-merges (shuffling the full corpus shingle
+    explosion) whenever runtime stats are missing or the exploded benchmark
+    exceeds the adaptive threshold. Set it False only when the "benchmark"
+    side is itself corpus-sized. The hot-shingle cap drops boilerplate
+    grams that contribute candidates quadratically but no leakage signal.
+    Drop flagged ids with a left_anti join on doc_id."""
     bid = bench_id_col or id_col
     btx = bench_text_col or text_col
     src = _ensure_parallel(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -403,6 +408,8 @@ def decontaminate(
     bench_sh = benchmark.select(
         F.col(bid).alias("bench_id"), F.explode(shingles(btx, n)).alias("s")
     )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     hits = (
         sh.join(bench_sh, on="s")
         .groupBy("id", "bench_id")

@@ -26,6 +26,7 @@ class CleanReport:
     n_input: int
     n_after_quality: int
     n_kept: int
+    n_decontaminated: int = 0
 
     @property
     def removed_quality(self) -> int:
@@ -33,7 +34,7 @@ class CleanReport:
 
     @property
     def removed_duplicates(self) -> int:
-        return self.n_after_quality - self.n_kept
+        return self.n_after_quality - self.n_decontaminated - self.n_kept
 
 
 def clean_corpus(
@@ -48,6 +49,11 @@ def clean_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     max_iter: int = 50,
+    benchmark: DataFrame | None = None,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    decontaminate_n: int = 8,
+    decontaminate_min_overlap: int = 1,
 ) -> tuple[DataFrame, CleanReport]:
     """Quality-gate, dedup, and canonicalize a document corpus.
 
@@ -65,6 +71,13 @@ def clean_corpus(
        signature band); ``max_iter`` bounds the CC rounds;
     3. canonical selection: keep ONE doc per cluster, preferring the
        highest quality score (token count here), ties by id.
+
+    With ``benchmark`` set, a decontamination stage runs between the gate
+    and the dedup clustering: docs sharing >= ``decontaminate_min_overlap``
+    token ``decontaminate_n``-grams with any benchmark row (``decontaminate``
+    — the GPT-3/PaLM test-set-leakage screen, broadcast benchmark side)
+    are dropped with a left_anti join BEFORE clustering, so a leaked doc
+    can never become a cluster's canonical survivor.
 
     Returns (kept DataFrame with a ``quality_score`` column, CleanReport).
 
@@ -102,6 +115,22 @@ def clean_corpus(
     n_input, n_quality = counts["n_input"], int(counts["n_quality"] or 0)
 
     good = scored.filter(good_cond)
+    n_decon = 0
+    if benchmark is not None:
+        from unify_spark.functions.dedup import decontaminate
+
+        flagged = (
+            decontaminate(
+                good, benchmark, id_col, text_col,
+                bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+                n=decontaminate_n, min_overlap=decontaminate_min_overlap,
+            )
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+            .persist()  # metadata-scale: flagged ids only, used twice
+        )
+        n_decon = flagged.count()
+        good = good.join(flagged, on=id_col, how="left_anti")
     clusters = duplicate_clusters(
         good,
         id_col,
@@ -121,7 +150,7 @@ def clean_corpus(
     # persist BEFORE the count: the report counter and the caller's
     # write/collect share one computation of the whole dedup pipeline
     kept = kept.persist()
-    return kept, CleanReport(n_input, n_quality, kept.count())
+    return kept, CleanReport(n_input, n_quality, kept.count(), n_decon)
 
 
 def clean_audio_corpus(
