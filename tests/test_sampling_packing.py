@@ -140,6 +140,29 @@ def test_take_per_stratum_two_phase_giant_stratum(spark):
     # means it executes before the shuffle)
 
 
+def test_take_per_stratum_auto_counts(spark):
+    """strata_counts="auto": the dominant stratum is discovered by a
+    threshold-filtered count aggregate (no caller-supplied counts), the
+    plan still shows the md5 pre-filter under the exchange, and the result
+    is exactly the single-phase result."""
+    big = spark.range(40_000).select(
+        F.col("id").alias("event_id"), F.lit("web").alias("stratum")
+    )
+    small = spark.range(40_000, 40_200).select(
+        F.col("id").alias("event_id"), F.lit("books").alias("stratum")
+    )
+    df = big.unionByName(small)
+
+    auto = sampling.take_per_stratum(df, "event_id", "stratum", 10, strata_counts="auto")
+    single = sampling.take_per_stratum(df, "event_id", "stratum", 10)
+    key = lambda rs: sorted((r["stratum"], r["event_id"]) for r in rs)  # noqa: E731
+    assert key(auto.collect()) == key(single.collect())
+
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    filter_pos, exchange_pos = plan.find("md5"), plan.find("Exchange")
+    assert filter_pos != -1 and exchange_pos != -1 and filter_pos > exchange_pos
+
+
 def test_take_per_stratum_two_phase_keeps_null_ids(spark):
     """A NULL id hashes to NULL, which the single-phase window ranks FIRST
     (nulls-first sort) — the pre-thin predicate must not drop it, or the

@@ -287,6 +287,55 @@ def test_sessionize_gap_semantics(spark):
     assert got[("u2", 1)]["n_events"] == 1
 
 
+def test_sessionize_hot_key_escape(spark):
+    """The max_events_per_key pre-thin: a degenerate bot key's task input
+    is bounded (the thin is a pure Column filter BEFORE the session
+    shuffle), while normal keys' sessions come back bit-identical to the
+    un-thinned call — the quota sampler's two-phase escape applied to
+    sessionization."""
+    from datetime import datetime, timedelta
+
+    from unify_spark.functions.sessions import sessionize
+
+    base = datetime(2025, 1, 1, 0, 0, 0)
+    rows = [("bot", base + timedelta(seconds=i), f"e{i}") for i in range(5000)]
+    rows += [
+        ("u1", base, "h1"), ("u1", base + timedelta(minutes=2), "h2"),
+        ("u2", base + timedelta(hours=2), "h3"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+
+    cap = 200
+    out = sessionize(
+        df, "ts", "user_id", gap="5 minutes",
+        max_events_per_key=cap,
+        key_counts={"bot": 5000},
+        event_id_col="event_id",
+    )
+    # bounded task input: the bot key's surviving events land near the cap
+    # (binomial at rate cap/count), nowhere near the raw 5000
+    bot_events = sum(
+        r["n_events"] for r in out.collect() if r["user_id"] == "bot"
+    )
+    assert 0 < bot_events < 2 * cap
+    # the thin is plan-side: a deterministic md5 filter before the agg
+    assert "md5" in out._jdf.queryExecution().executedPlan().toString().lower()
+
+    # normal keys: sessions identical to the un-thinned call
+    plain = sessionize(df, "ts", "user_id", gap="5 minutes")
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"], r["n_events"])  # noqa: E731
+    normal = lambda rs: sorted(key(r) for r in rs if r["user_id"] != "bot")  # noqa: E731
+    assert normal(out.collect()) == normal(plain.collect())
+
+    # missing the hash domain is an explicit error, not silent skew
+    import pytest
+
+    with pytest.raises(ValueError, match="event_id_col"):
+        sessionize(
+            df, "ts", "user_id", max_events_per_key=cap, key_counts={"bot": 5000}
+        ).collect()
+
+
 def test_sessionize_under_structured_streaming(spark, tmp_path):
     """The SAME sessionize() call runs under readStream with a watermark
     (complete/update-mode session state machine) and produces the batch

@@ -379,7 +379,8 @@ def cmd_corpus_sample(args) -> int:
             print("error: --quota needs --stratum", file=sys.stderr)
             return 2
         out = sampling.take_per_stratum(
-            df, args.id_col, args.stratum, args.quota, salt=args.salt
+            df, args.id_col, args.stratum, args.quota, salt=args.salt,
+            strata_counts=("auto" if args.auto_thin else None),
         )
     elif args.rates:
         if not args.stratum:
@@ -869,6 +870,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--quota", type=int, default=None,
                    help="exact rows per stratum (smallest id-hash wins)")
     s.add_argument("--salt", default="", help="decorrelate independent samples")
+    s.add_argument("--auto-thin", dest="auto_thin", action="store_true",
+                   help="with --quota: discover giant strata (count pass) "
+                        "and pre-thin them before the window")
     s.set_defaults(fn=cmd_corpus_sample)
 
     s = sub.add_parser("corpus-pack", help="token-budget sequence packing placements")

@@ -94,7 +94,7 @@ def take_per_stratum(
     strata_col: str,
     n: int,
     salt: str = "",
-    strata_counts: dict[str, int] | None = None,
+    strata_counts: dict[str, int] | str | None = None,
     oversample: float = 3.0,
 ) -> DataFrame:
     """EXACT-count deterministic sampling: the ``n`` rows per stratum whose
@@ -111,6 +111,13 @@ def take_per_stratum(
     count exceeds ``10 * oversample * n`` are PRE-THINNED with the
     ``hash_keep`` predicate at rate oversample*n/count before the window.
 
+    ``strata_counts="auto"`` derives the counts itself: one key-only
+    count aggregate (map-side combine) filtered to strata over the
+    pre-thin threshold BEFORE collecting — at most
+    total_rows / (10 * oversample * n) strata can exceed the threshold,
+    so the driver result is bounded no matter how many strata exist. Pass
+    an explicit dict (from a prior profile pass) to skip that job.
+
     The two-phase form is EXACT, not approximate: hash_keep keeps rows with
     md5-prefix under a threshold — a strict PREFIX of the very hash order
     the window ranks by — so the pre-filter can never evict a true top-n
@@ -120,6 +127,19 @@ def take_per_stratum(
     shuffle, so a 10^10-row dominant stratum ships ~3n slim rows to its
     window task instead of 10^10."""
     from pyspark.sql import Window
+
+    if strata_counts == "auto":
+        threshold = 10 * oversample * n
+        strata_counts = {
+            row["_sv"]: row["_sc"]
+            for row in (
+                df.groupBy(F.col(strata_col).cast("string").alias("_sv"))
+                .agg(F.count(F.lit(1)).alias("_sc"))
+                .where(F.col("_sc") > threshold)
+                .collect()
+            )
+            if row["_sv"] is not None  # NULL strata stay on the window path
+        }
 
     if strata_counts:
         rates = {

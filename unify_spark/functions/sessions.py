@@ -20,6 +20,10 @@ def sessionize(
     key_col: str,
     gap: str = "30 minutes",
     agg_exprs: list[Column] | None = None,
+    max_events_per_key: int | None = None,
+    key_counts: dict[str, int] | None = None,
+    event_id_col: str | None = None,
+    salt: str = "",
 ) -> DataFrame:
     """One row per (key, session): events closer than ``gap`` chain into a
     session; a quiet period longer than ``gap`` starts a new one. Emits
@@ -32,9 +36,34 @@ def sessionize(
 
     Skew: one key's events must meet in one task (session merging is a
     per-key total order — salting would split sessions at salt boundaries).
-    Human-scale keys are naturally bounded; for degenerate hot keys (bots,
-    a null-user bucket) pre-filter or pre-thin with ``hash_keep`` on the
-    event id before sessionizing — the same escape as the quota sampler."""
+    Human-scale keys are naturally bounded; degenerate hot keys (bots, a
+    null-user sentinel) get the quota sampler's two-phase escape: pass
+    ``max_events_per_key`` plus ``key_counts`` ({key value: approximate
+    event count}, e.g. from a profile/HLL pass) and ``event_id_col``, and
+    keys whose count exceeds the cap are PRE-THINNED with the deterministic
+    ``hash_keep`` predicate on the event id at rate cap/count BEFORE the
+    session shuffle — a pure Column filter, so a 10^9-event bot key ships
+    ~cap rows to its task instead of 10^9. Caveat (documented, inherent):
+    thinning drops events, so a thinned key's session BOUNDARIES are
+    approximate — a dropped event that bridged two quiet periods splits the
+    session. Normal keys (count <= cap) pass through bit-identically.
+    NULL event ids survive the thin (kept, like the quota sampler)."""
+    if max_events_per_key is not None and key_counts:
+        from unify_spark.functions.sampling import _per_stratum_keep
+
+        rates = {
+            value: min(1.0, max_events_per_key / count)
+            for value, count in key_counts.items()
+            if count > max_events_per_key
+        }
+        if rates:
+            if event_id_col is None:
+                raise ValueError(
+                    "max_events_per_key pre-thinning needs event_id_col (the "
+                    "deterministic hash domain)"
+                )
+            keep = _per_stratum_keep(event_id_col, key_col, rates, 1.0, salt)
+            df = df.where(F.coalesce(keep, F.lit(True)))
     aggs = [F.count(F.lit(1)).alias("n_events")] + list(agg_exprs or [])
     sw = F.session_window(F.col(ts_col), gap)
     out = df.groupBy(F.col(key_col), sw.alias("sw")).agg(*aggs)
