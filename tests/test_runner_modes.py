@@ -89,11 +89,11 @@ def test_audit_append_retries_transient_failures(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
     real = AuditLog._append_once
 
-    def flaky(self, rows):
+    def flaky(self, rows, batch):
         calls["n"] += 1
         if calls["n"] < 3:
             raise OSError("transient store hiccup")
-        return real(self, rows)
+        return real(self, rows, batch)
 
     monkeypatch.setattr(AuditLog, "_append_once", flaky)
     audit.append(
@@ -103,6 +103,35 @@ def test_audit_append_retries_transient_failures(spark, tmp_path, monkeypatch):
     )
     assert calls["n"] == 3
     assert audit.completed_constraints("r") == {"c"}
+
+
+def test_audit_append_idempotent_under_ambiguous_failure(spark, tmp_path, monkeypatch):
+    """An append whose write COMMITTED but whose ack was lost must not
+    double lineage on retry: the batch_id is minted once per append(), so
+    the retry rewrites the same batch file instead of adding a second."""
+    from unify_spark.plans.audit import AuditLog
+
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    calls = {"n": 0}
+    real = AuditLog._append_once
+
+    def committed_but_unacked(self, rows, batch):
+        calls["n"] += 1
+        real(self, rows, batch)          # the write lands...
+        if calls["n"] == 1:
+            raise OSError("ack lost")    # ...but the caller never hears
+        return None
+
+    monkeypatch.setattr(AuditLog, "_append_once", committed_but_unacked)
+    audit.append(
+        [{"run_id": "r", "constraint": "c", "part": "p0", "status": "pass",
+          "violation_count": 0}],
+        backoff_s=0.01,
+    )
+    assert calls["n"] == 2
+    rows = audit.read().collect()
+    assert len(rows) == 1                     # no duplicate lineage row
+    assert len({r["batch_id"] for r in rows}) == 1
 
 
 def test_violation_write_retries_transient_failures(spark, tmp_path, monkeypatch):

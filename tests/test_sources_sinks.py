@@ -140,11 +140,16 @@ def test_spark_submit_pyfiles_deployment(tmp_path):
     import shutil
     import subprocess
 
-    spark_submit = shutil.which("spark-submit")
+    # pyspark ships its own launcher scripts — prefer them so the contract
+    # is exercised even on hosts where spark-submit isn't on PATH
+    import pyspark
+
+    bundled = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+    spark_submit = bundled if os.access(bundled, os.X_OK) else shutil.which("spark-submit")
     if spark_submit is None:
         import pytest
 
-        pytest.skip("spark-submit not on PATH")
+        pytest.skip("spark-submit not found (pyspark bin or PATH)")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     subprocess.run(
         ["bash", os.path.join(repo, "scripts", "build_pyfiles.sh")],
@@ -194,15 +199,24 @@ def test_iceberg_adapter_dispatch_and_sql(spark, tmp_path):
     assert ice.is_table_identifier("lake.audit.runs")
     assert not ice.is_table_identifier("/data/audit")
     assert not ice.is_table_identifier("audit.parquet")
+    # execution routing is a WHITELIST on configured catalog names: a
+    # relative filesystem target like audit.json / out.db must keep
+    # routing to the shim even though its suffix isn't blacklisted
+    assert ice.is_table_identifier("lake.audit.runs", catalogs=["lake"])
+    assert not ice.is_table_identifier("audit.json", catalogs=["lake"])
+    assert not ice.is_table_identifier("out.db", catalogs=["lake"])
+    assert not ice.is_table_identifier("hive.db.t", catalogs=["lake"])
+    assert ice.routes_to_catalog(spark, "anything.at.all") is False  # no catalog here
 
-    # the statements the catalog path executes, asserted verbatim
+    # the statements the catalog path executes, asserted verbatim —
+    # identifiers backtick-quoted so user-supplied names never parse as SQL
     assert ice.merge_sql("lake.dims.codec", ["codec"], ["codec", "label"]) == (
-        "MERGE INTO lake.dims.codec t USING _src s ON t.codec = s.codec "
-        "WHEN MATCHED THEN UPDATE SET t.label = s.label "
-        "WHEN NOT MATCHED THEN INSERT (codec, label) VALUES (s.codec, s.label)"
+        "MERGE INTO `lake`.`dims`.`codec` t USING `_src` s ON t.`codec` = s.`codec` "
+        "WHEN MATCHED THEN UPDATE SET t.`label` = s.`label` "
+        "WHEN NOT MATCHED THEN INSERT (`codec`, `label`) VALUES (s.`codec`, s.`label`)"
     )
     assert ice.delete_run_sql("lake.audit.runs", "r'1") == (
-        "DELETE FROM lake.audit.runs WHERE run_id = 'r''1'"
+        "DELETE FROM `lake`.`audit`.`runs` WHERE run_id = 'r''1'"
     )
 
     # shim execution: append twice → rows double
@@ -218,6 +232,38 @@ def test_iceberg_adapter_dispatch_and_sql(spark, tmp_path):
     ice.upsert_rows(spark, df.unionByName(spark.createDataFrame([(3, "c")], ["k", "v"])), p2, ["k"])
     assert spark.read.parquet(p2).count() == 3
 
-    # snapshot reads have no parquet-shim meaning → clear error
+    # version/timestamp snapshot reads have no parquet-shim meaning → error
     with pytest.raises(ValueError, match="snapshot read needs an Iceberg catalog"):
         ice.read_snapshot(spark, p, version=3)
+
+
+def test_read_snapshot_parquet_shim_as_of_run(spark, tmp_path):
+    """The jar-free time-travel analogue: write run A, then run B (each
+    with its audit rows), and an as-of-run-A read returns exactly A's rows
+    — a run whose audit commit postdates A's is invisible, matching the
+    snapshot-isolation read a catalog would give."""
+    from unify_spark.plans.audit import AuditLog
+    from unify_spark.sources import iceberg as ice
+
+    table = str(tmp_path / "verdicts")
+    audit = str(tmp_path / "audit")
+    log = AuditLog(spark, audit)
+
+    spark.createDataFrame(
+        [("runA", "c1", 1), ("runA", "c2", 0)], ["run_id", "constraint", "n"]
+    ).write.mode("append").parquet(table)
+    log.append([{"run_id": "runA", "constraint": "c1", "status": "done"}])
+
+    spark.createDataFrame(
+        [("runB", "c1", 5)], ["run_id", "constraint", "n"]
+    ).write.mode("append").parquet(table)
+    log.append([{"run_id": "runB", "constraint": "c1", "status": "done"}])
+
+    as_of_a = ice.read_snapshot(spark, table, as_of_run="runA", audit_path=audit)
+    assert {r["run_id"] for r in as_of_a.collect()} == {"runA"}
+    assert as_of_a.count() == 2
+    as_of_b = ice.read_snapshot(spark, table, as_of_run="runB", audit_path=audit)
+    assert as_of_b.count() == 3  # B's snapshot includes A (committed earlier)
+
+    with pytest.raises(ValueError, match="not found in audit"):
+        ice.read_snapshot(spark, table, as_of_run="ghost", audit_path=audit)

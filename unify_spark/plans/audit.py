@@ -52,7 +52,7 @@ class AuditLog:
         filesystem would silently forget every completed stage)."""
         from unify_spark.sources import iceberg as ice
 
-        return ice.is_table_identifier(self.path) and ice.iceberg_enabled(self.spark)
+        return ice.routes_to_catalog(self.spark, self.path)
 
     def _exists(self) -> bool:
         if self._catalog_table():
@@ -73,29 +73,36 @@ class AuditLog:
         (rows ~ constraints × partitions), so writing it through a Spark job
         would cost more scheduling than data. The file layout stays a plain
         parquet directory Spark reads back for verdicts/resume. With an
-        Iceberg catalog this becomes a MERGE/append on the audit table.
+        Iceberg catalog this becomes a batch-keyed idempotent append on
+        the audit table (see the retry note below).
 
         App-level retry with scaled backoff mirrors the reference's transact
         retry policy (db/transact.clj:128-136: bounded retries, scaled
         backoff) — transient filesystem/object-store failures must not lose
         lineage; the bound is small because each append is a tiny local
         write, not a distributed transaction. Retryable-vs-fatal
-        classification is the shared taxonomy in plans/retry.py."""
+        classification is the shared taxonomy in plans/retry.py.
+
+        Idempotent under retry: the batch_id is minted ONCE per append(),
+        so a retry after an ambiguous failure rewrites the SAME parquet
+        file (filesystem path) or is skipped entirely when the batch_id is
+        already visible in the table (catalog path) — a commit that
+        succeeded but whose ack was lost cannot double-append lineage."""
         from unify_spark.plans.retry import with_retries
 
         if not rows:
             return
+        batch = uuid.uuid4().hex
         return with_retries(
-            lambda: self._append_once(rows),
+            lambda: self._append_once(rows, batch),
             max_retries=max_retries,
             base_backoff_s=backoff_s,
         )
 
-    def _append_once(self, rows: list[dict]) -> None:
+    def _append_once(self, rows: list[dict], batch: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batch = uuid.uuid4().hex
         now = time.time()
         tbl = pa.table(
             {
@@ -128,7 +135,18 @@ class AuditLog:
         if self._catalog_table():
             # catalog path: append the same rows to the Iceberg audit table
             # (sources/iceberg.py) — snapshot-isolated, retraction becomes
-            # DELETE WHERE run_id, and time travel serves the drift baseline
+            # DELETE WHERE run_id, and time travel serves the drift baseline.
+            # Retry-idempotence: if THIS batch_id is already visible, the
+            # prior attempt committed and only the ack was lost — skip.
+            if self.spark.catalog.tableExists(self.path):
+                already = (
+                    self.spark.table(self.path)
+                    .where(F.col("batch_id") == batch)
+                    .limit(1)
+                    .count()
+                )
+                if already:
+                    return
             ice.append_rows(
                 self.spark, self.spark.createDataFrame(tbl.to_pylist(), AUDIT_SCHEMA), self.path
             )

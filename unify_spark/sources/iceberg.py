@@ -14,7 +14,8 @@ boundary:
 - **execution** routes through the catalog when one is configured and
   through the parquet shim otherwise — the shim implements the same
   contract on directories (append = parquet append; retract = predicate
-  rewrite; snapshot read = unsupported → clear error).
+  rewrite; snapshot read = audit-table run_id filtering, the jar-free
+  time-travel analogue).
 
 With `--packages org.apache.iceberg:iceberg-spark-runtime-...` and a
 catalog conf, the catalog path activates without code changes.
@@ -25,7 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-_CATALOG_CACHE: dict[int, list[str]] = {}
+# keyed by (applicationId, context startTime) — NOT id(spark): a
+# garbage-collected session's id can be reused by a new session, which
+# would inherit a stale probe result. Bounded: old sessions' entries are
+# evicted once the cache outgrows any realistic session count.
+_CATALOG_CACHE: dict[tuple[str, int], list[str]] = {}
+_CATALOG_CACHE_MAX = 16
+
+
+def _session_key(spark: SparkSession) -> tuple[str, int] | None:
+    try:
+        sc = spark.sparkContext
+        return (sc.applicationId, sc.startTime)
+    except Exception:  # pragma: no cover - stopped session mid-probe
+        return None
 
 
 def iceberg_catalogs(
@@ -43,8 +57,8 @@ def iceberg_catalogs(
     out = []
     cache_key = None
     if confs is None:
-        cache_key = id(spark)
-        if not refresh and cache_key in _CATALOG_CACHE:
+        cache_key = _session_key(spark)
+        if cache_key is not None and not refresh and cache_key in _CATALOG_CACHE:
             return _CATALOG_CACHE[cache_key]
         try:
             confs = dict(spark.sparkContext.getConf().getAll())
@@ -62,6 +76,8 @@ def iceberg_catalogs(
             out.append(k.rsplit(".", 1)[1])
     result = sorted(set(out))
     if cache_key is not None:  # cache only the session-probe path
+        while len(_CATALOG_CACHE) >= _CATALOG_CACHE_MAX:
+            _CATALOG_CACHE.pop(next(iter(_CATALOG_CACHE)))
         _CATALOG_CACHE[cache_key] = result
     return result
 
@@ -73,33 +89,61 @@ def iceberg_enabled(spark: SparkSession, catalog: str | None = None) -> bool:
     return (catalog in cats) if catalog else bool(cats)
 
 
-def is_table_identifier(path_or_name: str) -> bool:
+def is_table_identifier(path_or_name: str, catalogs: list[str] | None = None) -> bool:
     """The storage dispatch rule: a catalog table identifier is dotted
     (``catalog.db.table``) with no path separators or file suffixes. The
     dot is REQUIRED — a bare relative directory name like ``audit_out``
     must keep routing to the filesystem even when a catalog happens to be
     configured (misrouting it to ``writeTo`` would fail every local
-    workflow that worked before the catalog appeared)."""
-    return (
-        "/" not in path_or_name
-        and "." in path_or_name
-        and not path_or_name.endswith((".parquet", ".csv", ".tsv"))
-    )
+    workflow that worked before the catalog appeared).
+
+    With ``catalogs`` supplied (the execution route always supplies it —
+    ``routes_to_catalog``), the first dotted component must be a CONFIGURED
+    catalog name: a whitelist, so a relative filesystem target like
+    ``audit.json`` or ``out.db`` can never silently route to ``writeTo``
+    just because some catalog exists and the suffix isn't on a blacklist."""
+    if (
+        "/" in path_or_name
+        or "." not in path_or_name
+        or path_or_name.endswith((".parquet", ".csv", ".tsv"))
+    ):
+        return False
+    if catalogs is not None:
+        return path_or_name.split(".", 1)[0] in catalogs
+    return True
+
+
+def routes_to_catalog(spark: SparkSession, target: str) -> bool:
+    """True when ``target`` should execute against an Iceberg catalog:
+    shaped like an identifier AND its first component names a catalog
+    configured on this session."""
+    return is_table_identifier(target, catalogs=iceberg_catalogs(spark))
+
+
+def _q(ident: str) -> str:
+    """Backtick-quote one identifier component (column, view, table part)
+    — user-supplied column/table names must never parse as SQL."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _q_table(table: str) -> str:
+    return ".".join(_q(p) for p in table.split("."))
 
 
 def merge_sql(table: str, keys: list[str], columns: list[str], source: str = "_src") -> str:
     """The MERGE INTO statement for an idempotent keyed upsert (the
     ``upsert_dim`` / audit-append contract). Pure string construction so
-    the statement shape is unit-testable without Iceberg jars."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
-    cols = ", ".join(columns)
-    vals = ", ".join(f"s.{c}" for c in columns)
+    the statement shape is unit-testable without Iceberg jars. Every
+    identifier is backtick-quoted."""
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in columns if c not in keys)
+    cols = ", ".join(_q(c) for c in columns)
+    vals = ", ".join(f"s.{_q(c)}" for c in columns)
     # all-key tables have nothing to UPDATE — an empty SET clause is a
     # parse error, so degrade to insert-if-absent
     matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
-        f"MERGE INTO {table} t USING {source} s ON {on} "
+        f"MERGE INTO {_q_table(table)} t USING {_q(source)} s ON {on} "
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
@@ -108,14 +152,14 @@ def merge_sql(table: str, keys: list[str], columns: list[str], source: str = "_s
 def delete_run_sql(table: str, run_id: str) -> str:
     """The retraction statement (sinks.retract_run's catalog form)."""
     safe = run_id.replace("'", "''")
-    return f"DELETE FROM {table} WHERE run_id = '{safe}'"
+    return f"DELETE FROM {_q_table(table)} WHERE run_id = '{safe}'"
 
 
 def append_rows(spark: SparkSession, df: DataFrame, target: str) -> None:
     """Append ``df`` to ``target``: Iceberg table append when ``target`` is
     a catalog identifier and a catalog is configured, else parquet-dir
     append (the shim used throughout this sandbox)."""
-    if is_table_identifier(target) and iceberg_enabled(spark):
+    if routes_to_catalog(spark, target):
         # first-ever append must CREATE the table — append() alone throws
         # NoSuchTableException on a fresh catalog
         if spark.catalog.tableExists(target):
@@ -131,9 +175,17 @@ def upsert_rows(
 ) -> None:
     """Keyed idempotent upsert: MERGE INTO on the catalog path, else the
     parquet read-union-dedup shim (`sinks.upsert_dim`)."""
-    if is_table_identifier(target) and iceberg_enabled(spark):
-        df.createOrReplaceTempView("_src")
-        spark.sql(merge_sql(target, keys, df.columns))
+    if routes_to_catalog(spark, target):
+        import uuid
+
+        # uuid-suffixed source view, dropped after the merge: a fixed
+        # '_src' would clobber any user view of that name and leak
+        view = f"_unify_merge_src_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        try:
+            spark.sql(merge_sql(target, keys, df.columns, source=view))
+        finally:
+            spark.catalog.dropTempView(view)
     else:
         from unify_spark.sources.sinks import upsert_dim
 
@@ -143,7 +195,7 @@ def upsert_rows(
 def retract_run_rows(spark: SparkSession, target: str, run_id: str) -> int:
     """Delete a run's rows: `DELETE WHERE` on the catalog path, else the
     filesystem predicate-rewrite shim (`sinks.retract_run`)."""
-    if is_table_identifier(target) and iceberg_enabled(spark):
+    if routes_to_catalog(spark, target):
         spark.sql(delete_run_sql(target, run_id))
         return -1  # Iceberg DELETE doesn't report a count without a snapshot diff
     from unify_spark.sources.sinks import retract_run
@@ -152,19 +204,46 @@ def retract_run_rows(spark: SparkSession, target: str, run_id: str) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None, as_of: str | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of: str | None = None,
+    as_of_run: str | None = None,
+    audit_path: str | None = None,
 ) -> DataFrame:
-    """Time-travel read (`VERSION AS OF` / `TIMESTAMP AS OF`) — the
-    cross-run drift baseline's natural source on a catalog; a parquet-dir
-    shim has no snapshot history, so that combination is a clear error
-    rather than silently reading HEAD."""
-    if not is_table_identifier(table) or not iceberg_enabled(spark):
+    """Time-travel read. Catalog path: real Iceberg `VERSION AS OF` /
+    `TIMESTAMP AS OF`. Parquet shim: ``as_of_run`` + ``audit_path`` give
+    the jar-free analogue — the audit table records every run's rows with
+    a commit timestamp, so "the table as of run A" is the rows of runs
+    whose LAST audit commit is at or before run A's last commit, filtered
+    by the table's own ``run_id`` column. Runs still in flight when A
+    finished (later audit rows) are excluded, matching snapshot-isolation
+    reads. Version/timestamp reads on the shim stay a clear error (a
+    parquet directory keeps no snapshot log)."""
+    if routes_to_catalog(spark, table):
+        if version is not None:
+            return spark.read.option("versionAsOf", version).table(table)
+        if as_of is not None:
+            return spark.read.option("timestampAsOf", as_of).table(table)
+        return spark.table(table)
+    if as_of_run is None or audit_path is None:
         raise ValueError(
             f"snapshot read needs an Iceberg catalog table, got {table!r} "
-            "(parquet directories keep no snapshot history)"
+            "(parquet directories keep no snapshot history; pass as_of_run= "
+            "and audit_path= for the audit-filtered run-grain analogue)"
         )
-    if version is not None:
-        return spark.read.option("versionAsOf", version).table(table)
-    if as_of is not None:
-        return spark.read.option("timestampAsOf", as_of).table(table)
-    return spark.table(table)
+    from pyspark.sql import functions as F
+
+    from unify_spark.plans.audit import AuditLog
+
+    last_ts: dict[str, float] = {}
+    for rid, ts in AuditLog(spark, audit_path)._read_columns(["run_id", "ts"]):
+        if rid is not None and ts is not None:
+            last_ts[rid] = max(last_ts.get(rid, float("-inf")), ts)
+    if as_of_run not in last_ts:
+        raise ValueError(
+            f"run {as_of_run!r} not found in audit table {audit_path!r}"
+        )
+    cutoff = last_ts[as_of_run]
+    committed = [rid for rid, ts in last_ts.items() if ts <= cutoff]
+    return spark.read.parquet(table).where(F.col("run_id").isin(committed))
