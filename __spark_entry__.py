@@ -243,9 +243,16 @@ def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document quality features: length/punct/stopword ratios plus
     the Gopher-style repetition signals (repeated-token and repeated-
-    3-gram fractions — the boilerplate/keyword-stuffing gates)."""
+    3-gram fractions — the boilerplate/keyword-stuffing gates), and the
+    C4-style boilerplate-removal counters (remove_boilerplate_lines in
+    token mode — the synthetic docs are single-line, so the segment
+    delimiter is the token boundary and 'boilerplate' means tokens present
+    in >= 50 distinct docs): n_lines segments scanned, n_removed dropped."""
     docs = _t(spark, sf, "documents")
     feats = text.quality_features("text")
+    bp = text.remove_boilerplate_lines(
+        docs, "doc_id", "text", min_doc_freq=50, delim=" "
+    ).select("doc_id", "n_lines", "n_removed")
     return docs.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
@@ -253,7 +260,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(feats["token_repetition_ratio"], 6).alias("tok_rep_ratio"),
         F.round(feats["trigram_repetition_ratio"], 6).alias("tri_rep_ratio"),
-    )
+    ).join(bp, on="doc_id")
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -1108,6 +1115,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "q_text_quality": rf"""
+            WITH segs AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS l FROM documents
+            ),
+            hot AS (
+              SELECT lt FROM (
+                SELECT trim(l) AS lt, COUNT(DISTINCT doc_id) AS df
+                FROM segs WHERE trim(l) <> '' GROUP BY 1
+              ) WHERE df >= 50
+            ),
+            bp AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN trim(l) IN (SELECT lt FROM hot)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+              FROM segs GROUP BY doc_id
+            )
+            SELECT q.doc_id, n_tokens, punct_ratio, stopword_ratio,
+                   tok_rep_ratio, tri_rep_ratio, bp.n_lines, bp.n_removed
+            FROM (
             SELECT doc_id,
                    len(t) AS n_tokens,
                    ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
@@ -1126,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          regexp_split_to_array(trim(text), '\s+') AS t
                   FROM documents)
+            ) q JOIN bp USING (doc_id)
         """,
         "q_text_fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

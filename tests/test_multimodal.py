@@ -495,3 +495,34 @@ def test_audio_dup_clusters_non_default_target_sr(spark):
            audio_dup_clusters(df, min_shared=5, target_sr=sr).collect()}
     assert got["a-wav"] == got["a-ulaw"]
     assert got["b-wav"] != got["a-wav"]
+
+
+def test_clean_audio_corpus_twin_resolution_deterministic(spark):
+    """Distinct-payload twins sharing an id: the attached quality columns
+    must come from the SAME twin regardless of input partitioning — the
+    content-deterministic window pick, not dropDuplicates' first-seen row."""
+    from unify_spark.audio import pcm
+    from unify_spark.functions.pipeline import clean_audio_corpus
+
+    sr = 16000
+    loud = _tone_clip(sr, 61, 440, 700, 1200)
+    quiet = (loud * 0.01).astype(loud.dtype)
+    rows = [
+        ("twin", pcm.encode(loud, "pcm_s16le"), "pcm_s16le", sr),
+        ("twin", pcm.encode(quiet, "pcm_s16le"), "pcm_s16le", sr),
+        ("solo", pcm.encode(loud, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+
+    def run(nparts):
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        kept, _ = clean_audio_corpus(df, max_silence_ratio=1.0)
+        got = sorted(
+            (r["clip_id"], round(r["rms_db"], 6)) for r in kept.collect()
+        )
+        kept.unpersist()
+        return got
+
+    a, b, c = run(1), run(3), run(7)
+    assert a == b == c
+    assert {x[0] for x in a} == {"twin", "solo"}

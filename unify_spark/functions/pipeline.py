@@ -88,12 +88,21 @@ def clean_corpus(
     The caller owns ``kept.unpersist()`` once done with the frame.
     """
     if boilerplate_min_df is not None:
+        from pyspark.sql import Window
+
         cleaned = text_fns.remove_boilerplate_lines(
             df, id_col, text_col, min_doc_freq=boilerplate_min_df
-        ).select(id_col, text_col).dropDuplicates([id_col])
+        ).select(id_col, text_col)
         # one cleaned row per id: duplicate-id input (the state the
         # uniqueness constraint reports) must not multiply rows through
-        # the join — same guard as the audio sibling's sidecar join
+        # the join — same guard as the audio sibling's sidecar join.
+        # Content-deterministic twin pick (digest order), not first-seen
+        _tw = Window.partitionBy(id_col).orderBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        cleaned = (
+            cleaned.withColumn("_twin_rn", F.row_number().over(_tw))
+            .filter(F.col("_twin_rn") == 1)
+            .drop("_twin_rn")
+        )
         df = df.drop(text_col).join(cleaned, on=id_col, how="inner")
     feats = text_fns.quality_features(text_col)
     scored = df.withColumn("_n_tokens", feats["n_tokens"]).withColumn(
@@ -192,17 +201,31 @@ def clean_audio_corpus(
     quality join uses one sidecar row per id, so row counts never inflate;
     exact dedup keys on (id, payload digest), so an id's exact copies
     collapse to one row and distinct-payload twins survive to be flagged
-    upstream — content-deterministic either way."""
+    upstream. Twin resolution is CONTENT-deterministic, not
+    arbitrary-row-deterministic: when twins share an id with DIFFERENT
+    payloads, the surviving sidecar row is the one with the smallest
+    feature tuple (row_number ordered by the feature values — identical
+    across runs and partitionings, unlike dropDuplicates' first-seen
+    row)."""
     from pyspark.sql import Window
 
     from unify_spark.functions.multimodal import audio_sidecars
 
-    sidecars = audio_sidecars(
+    side_raw = audio_sidecars(
         df, id_col=id_col, bytes_col=bytes_col, codec_col=codec_col,
         sr_col=sr_col, threshold_dbfs=threshold_dbfs,
     ).select(
         id_col, "rms_db", "clipping_ratio", "silence_ratio", "speech_ms", "reason"
-    ).dropDuplicates([id_col]).persist()
+    )
+    _tw = Window.partitionBy(id_col).orderBy(
+        "reason", "rms_db", "clipping_ratio", "silence_ratio", "speech_ms"
+    )
+    sidecars = (
+        side_raw.withColumn("_twin_rn", F.row_number().over(_tw))
+        .filter(F.col("_twin_rn") == 1)
+        .drop("_twin_rn")
+        .persist()
+    )
     # persisted: metadata-sized, and BOTH the counter aggregate and the
     # kept-branch (plus the winners sub-branch) re-derive it — without the
     # cache each action re-runs the dominant PCM decode
@@ -231,10 +254,19 @@ def clean_audio_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    kept = good.join(winners, on=[id_col, "_digest"], how="left_semi")
+    # exact-copy rows: ONE survivor, picked content-deterministically —
+    # same (id, digest) rows can still differ in sidecar metadata columns
+    # (e.g. transcript), and dropDuplicates would pick whichever partition
+    # arrived first
+    other = [c for c in kept.columns if c not in (id_col, "_digest", bytes_col)]
+    wk = Window.partitionBy(id_col, "_digest").orderBy(
+        F.xxhash64(*other) if other else F.lit(1)
+    )
     kept = (
-        good.join(winners, on=[id_col, "_digest"], how="left_semi")
-        .dropDuplicates([id_col, "_digest"])  # exact-copy rows: one survivor
-        .drop("_digest")
+        kept.withColumn("_copy_rn", F.row_number().over(wk))
+        .filter(F.col("_copy_rn") == 1)
+        .drop("_copy_rn", "_digest")
     )
     if near_dup_min_shared is not None:
         from unify_spark.functions.audio_dedup import audio_dup_clusters
