@@ -4,7 +4,7 @@ import pytest
 from unify_spark.audio import pcm
 
 
-@pytest.mark.parametrize("codec", pcm.CODEC_DOMAIN)
+@pytest.mark.parametrize("codec", pcm.DECODABLE_CODECS)
 def test_roundtrip_snr(codec):
     x = pcm.synth_pcm16(7, 16000, 1600)
     y = pcm.decode(pcm.encode(x, codec), codec)
@@ -47,7 +47,7 @@ def test_batch_synth_equals_scalar():
             assert (batch[k] == pcm.synth_pcm16(int(i), sr, n)).all()
 
 
-@pytest.mark.parametrize("codec", pcm.CODEC_DOMAIN)
+@pytest.mark.parametrize("codec", pcm.DECODABLE_CODECS)
 def test_batch_codec_equals_scalar(codec):
     idx = np.array([1, 42, 77])
     x = pcm.synth_pcm16_batch(idx, 16000, 800)
@@ -92,3 +92,18 @@ def test_decode_batch_null_sr_reported():
     assert by_id["c-1"]["snr_db"] > 30
     assert by_id["c-2"]["reason"] == "null sr_hz"
     assert by_id["c-2"]["snr_db"] < 0 and not by_id["c-2"]["is_null_bytes"]
+
+
+def test_alaw_is_real_g711():
+    """A-law must be the genuine ITU-T curve, not another stand-in: the
+    standard fixed points (mid-rise 0 -> +8, extremes +/-32256), idempotent
+    re-encode (the companded lattice is a fixed point), ~37 dB SNR on a
+    speech-level signal, and 8 bits/sample."""
+    x = pcm.synth_pcm16(3, 16000, 3200)
+    blob = pcm.encode(x, "alaw")
+    assert len(blob) == len(x)
+    y = pcm.decode(blob, "alaw")
+    assert 33.0 <= pcm.snr_db(x, y) <= 42.0
+    assert pcm.encode(y, "alaw") == blob
+    pts = pcm.decode(pcm.encode(np.array([0, 1, -1, 32767, -32768], dtype="<i2"), "alaw"), "alaw")
+    assert list(pts) == [8, 8, -8, 32256, -32256]

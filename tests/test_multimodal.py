@@ -268,6 +268,7 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
     rows = [
         ("a-wav", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
         ("a-ulaw", pcm.encode(a, "ulaw"), "ulaw", sr),
+        ("a-alaw", pcm.encode(a, "alaw"), "alaw", sr),
         ("a-mp3", pcm.encode(a, "mp3"), "mp3", sr),
         ("a-half", pcm.encode(half, "pcm_s16le"), "pcm_s16le", sr),
         ("b-wav", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
@@ -279,11 +280,11 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
         tuple(sorted((r["id_a"], r["id_b"])))
         for r in audio_near_dup_candidates(df, min_shared=5).collect()
     }
-    a_family = {"a-wav", "a-ulaw", "a-mp3", "a-half"}
+    a_family = {"a-wav", "a-ulaw", "a-alaw", "a-mp3", "a-half"}
     for p in pairs:
         assert set(p) <= a_family, f"false positive: {p}"
     # every codec/gain variant of `a` pairs with the wav original
-    for other in ["a-ulaw", "a-mp3", "a-half"]:
+    for other in ["a-ulaw", "a-alaw", "a-mp3", "a-half"]:
         assert tuple(sorted(("a-wav", other))) in pairs
     assert not any("b-wav" in p or "c-wav" in p for p in pairs)
 

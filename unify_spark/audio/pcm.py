@@ -12,6 +12,12 @@ deterministic stand-ins with realistic properties:
                  side (mapInPandas over binary) is unchanged.
 - ``ulaw``     : genuine ITU-T G.711 mu-law companding (public algorithm),
                  8 bits/sample, ~38 dB SNR on speech-level signals.
+- ``alaw``     : genuine ITU-T G.711 A-law companding (A=87.6, the
+                 European telephony half of G.711; public algorithm),
+                 8 bits/sample, ~37 dB SNR on speech-level signals. Not in
+                 the fixture CODEC_DOMAIN (the violation baselines stay
+                 fixed) but fully decodable, so user corpora carrying alaw
+                 clips flow through every decode-path operator.
 - ``mp3``      : lossy stand-in — 12-bit mid-tread quantization behind a
                  4-byte magic header (~68 dB SNR). Stand-in for the same
                  reason as flac; clearly marked.
@@ -26,6 +32,10 @@ from __future__ import annotations
 import numpy as np
 
 CODEC_DOMAIN = ("pcm_s16le", "flac", "ulaw", "mp3")
+# every codec decode() understands — CODEC_DOMAIN (the fixture/constraint
+# domain, frozen so violation baselines stay fixed) plus extras user
+# corpora may carry
+DECODABLE_CODECS = CODEC_DOMAIN + ("alaw",)
 
 _FLAC_MAGIC = b"fLaC0"
 _MP3_MAGIC = b"MPG0"
@@ -212,6 +222,35 @@ def _decode_ulaw(data: bytes) -> np.ndarray:
     return np.clip(out, -32768, 32767).astype("<i2")
 
 
+def _encode_alaw(pcm: np.ndarray) -> bytes:
+    """ITU-T G.711 A-law compression (A=87.6; the classic segment form of
+    the public reference implementation, 16-bit domain, vectorized)."""
+    x = pcm.astype(np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.where(x >= 0, x, -x - 8)
+    mag = np.clip(mag, 0, 0x7FFF)
+    # segment = MSB position of (mag | 0xFF) minus 7 → 0..8
+    seg = np.floor(np.log2(mag | 0xFF)).astype(np.int32) - 7
+    shift = np.where(seg != 0, seg + 3, 4)
+    low = (mag >> shift) & 0xF
+    out = np.where(seg >= 8, 0x7F ^ mask, ((seg << 4) | low) ^ mask)
+    return (out & 0xFF).astype(np.uint8).tobytes()
+
+
+def _alaw_expand(raw: np.ndarray) -> np.ndarray:
+    """uint8 A-law byte array (any shape) → int16 PCM (same shape)."""
+    a = raw.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    out = np.where(a & 0x80, t, -t)
+    return out.clip(-32768, 32767).astype("<i2")
+
+
+def _decode_alaw(data: bytes) -> np.ndarray:
+    return _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+
+
 def _encode_flac(pcm: np.ndarray) -> bytes:
     # first-order delta in wrap-around int16 space: exact lossless round-trip
     d = np.diff(pcm.astype(np.int16), prepend=np.int16(0)).astype("<i2")
@@ -243,6 +282,8 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
         return _encode_flac(pcm)
     if codec == "ulaw":
         return _encode_ulaw(pcm)
+    if codec == "alaw":
+        return _encode_alaw(pcm)
     if codec == "mp3":
         return _encode_mp3(pcm)
     # out-of-domain codecs (violation fixtures) carry raw PCM payloads
@@ -261,6 +302,8 @@ def decode(data: bytes, codec: str) -> np.ndarray:
         return _decode_flac(data)
     if codec == "ulaw":
         return _decode_ulaw(data)
+    if codec == "alaw":
+        return _decode_alaw(data)
     if codec == "mp3":
         if (len(data) - len(_MP3_MAGIC)) % 2:
             raise ValueError("odd mp3 payload length")
@@ -291,6 +334,8 @@ def decode_batch(blobs: list[bytes], codec: str) -> np.ndarray:
         mag = (((u & 0x0F) << 3) + 0x84) << exp
         mag -= 0x84
         return np.clip(np.where(sign != 0, -mag, mag), -32768, 32767).astype("<i2")
+    if codec == "alaw":
+        return _alaw_expand(raw)
     if codec == "mp3":
         body = raw[:, len(_MP3_MAGIC) :]
         if not blobs[0].startswith(_MP3_MAGIC) or body.shape[1] % 2:
@@ -316,6 +361,10 @@ def encode_batch(pcm2d: np.ndarray, codec: str) -> list[bytes]:
         mantissa = (mag >> (exp + 3)) & 0x0F
         u = (~(sign | (exp << 4) | mantissa) & 0xFF).astype(np.uint8)
         return [row.tobytes() for row in u]
+    if codec == "alaw":
+        # _encode_alaw is shape-agnostic (elementwise); split rows back out
+        raw = np.frombuffer(_encode_alaw(x), dtype=np.uint8).reshape(x.shape)
+        return [row.tobytes() for row in raw]
     if codec == "mp3":
         q = ((x.astype(np.int16) >> 4) << 4).astype("<i2")
         return [_MP3_MAGIC + row.tobytes() for row in q]

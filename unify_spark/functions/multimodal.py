@@ -188,7 +188,9 @@ def _decode_group_iter(pdf, bytes_col, codec_col, sr_col, reason):
     and are not yielded."""
     from unify_spark.audio import pcm
 
-    ok = (pdf[bytes_col].notna() & pdf[codec_col].isin(pcm.CODEC_DOMAIN)).to_numpy()
+    # decodability gate is DECODABLE_CODECS (domain + extras like alaw);
+    # the codec-DOMAIN constraint is a separate data-driven check
+    ok = (pdf[bytes_col].notna() & pdf[codec_col].isin(pcm.DECODABLE_CODECS)).to_numpy()
     reason[~ok] = "null bytes or unknown codec"
     blobs = pdf[bytes_col].to_numpy()
     codecs = pdf[codec_col].to_numpy()

@@ -64,7 +64,10 @@ def _decode_batch(
     null_bytes = pdf[pdf["bytes"].isna()]
     decodable = (
         pdf["bytes"].notna()
-        & pdf["codec"].isin(pcm.CODEC_DOMAIN)
+        # DECODABLE_CODECS, not the fixture CODEC_DOMAIN: a corpus whose
+        # domain table legitimately includes alaw still gets its payloads
+        # SNR-checked; truly unknown codecs stay Domain's to flag
+        & pdf["codec"].isin(pcm.DECODABLE_CODECS)
         & pdf["dur_ms"].notna()
         & (pdf["dur_ms"] > 0)
     )

@@ -66,7 +66,16 @@ def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
     if path_or_name.endswith(".csv") or path_or_name.endswith(".tsv"):
         sep = "\t" if path_or_name.endswith(".tsv") else ","
         return read_csv_with_lineage(spark, path_or_name, sep=sep)
-    if "/" in path_or_name or path_or_name.endswith(".parquet"):
+    import os
+
+    # an existing local path wins over a catalog lookup: a relative dir
+    # like "out.db" or "audit.json" must not route to spark.table just
+    # because it is dotted (the write side's whitelist rule, mirrored)
+    if (
+        "/" in path_or_name
+        or path_or_name.endswith(".parquet")
+        or os.path.exists(path_or_name)
+    ):
         return spark.read.parquet(path_or_name)
     return spark.table(path_or_name)
 
