@@ -527,3 +527,79 @@ def test_clean_audio_corpus_twin_resolution_deterministic(spark):
     a, b, c = run(1), run(3), run(7)
     assert a == b == c
     assert {x[0] for x in a} == {"twin", "solo"}
+
+
+def test_normalize_audio_gain(spark):
+    """Loudness leveling as a distributed rewrite: quiet and loud clips of
+    the same signal land on the same RMS (+/- re-encode noise), codec and
+    sr are preserved, payloads stay decodable in their own codec, upward
+    gain is capped, silence passes through un-gained with a reason."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_features, normalize_audio_gain
+
+    sr = 16000
+    base = _tone_clip(sr, 71, 440, 700, 1200)
+    loud = base
+    quiet = (base * 0.05).astype(base.dtype)
+    tiny = (base * 0.0005).astype(base.dtype)       # needs > max_gain_db
+    silent = np.zeros(sr, dtype=base.dtype)
+    rows = [
+        ("loud", pcm.encode(loud, "pcm_s16le"), "pcm_s16le", sr),
+        ("quiet", pcm.encode(quiet, "ulaw"), "ulaw", sr),
+        ("tiny", pcm.encode(tiny, "pcm_s16le"), "pcm_s16le", sr),
+        ("silent", pcm.encode(silent, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    out = normalize_audio_gain(df, target_dbfs=-20.0, max_gain_db=30.0).persist()
+    got = {r["clip_id"]: r for r in out.collect()}
+    assert got["loud"]["codec"] == "pcm_s16le" and got["quiet"]["codec"] == "ulaw"
+    assert got["silent"]["reason"].startswith("digital silence")
+    assert got["silent"]["gain_db"] == 0.0
+    assert bytes(got["silent"]["bytes"]) == bytes(rows[3][1])
+    # gain cap honored
+    assert abs(got["tiny"]["gain_db"] - 30.0) < 1e-6
+
+    # normalized clips measure at the target RMS (ulaw re-encode ~38 dB SNR
+    # keeps RMS within a fraction of a dB)
+    feats = {r["clip_id"]: r["rms_db"] for r in audio_features(out).collect()}
+    assert abs(feats["loud"] - (-20.0)) < 0.5
+    assert abs(feats["quiet"] - (-20.0)) < 0.5
+    out.unpersist()
+
+
+def test_cli_audio_normalize(spark, tmp_path, capsys):
+    """Loudness normalization end-to-end from the CLI: output table is a
+    drop-in clips replacement at the target RMS, knobs honored from a
+    corpus.audio_normalize config section."""
+    import json
+
+    from unify_spark import cli
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_features
+
+    sr = 16000
+    a = _tone_clip(sr, 81, 392, 660, 1100)
+    quiet = (a * 0.05).astype(a.dtype)
+    src = str(tmp_path / "clips")
+    spark.createDataFrame(
+        [("c1", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+         ("c2", pcm.encode(quiet, "ulaw"), "ulaw", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    ).write.parquet(src)
+
+    cfgp = tmp_path / "corpus.yaml"
+    cfgp.write_text("corpus:\n  audio_normalize:\n    target_dbfs: -23.0\n")
+    out = str(tmp_path / "leveled")
+    rc = cli.main(["audio-normalize", "--table", src, "--out", out,
+                   "--config", str(cfgp)])
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0 and r["n_clips"] == 2 and r["n_normalized"] == 2
+
+    leveled = spark.read.parquet(out)
+    assert set(leveled.columns) >= {"clip_id", "bytes", "codec", "sr_hz"}
+    feats = {x["clip_id"]: x["rms_db"] for x in audio_features(leveled).collect()}
+    assert abs(feats["c1"] - (-23.0)) < 0.5 and abs(feats["c2"] - (-23.0)) < 0.5

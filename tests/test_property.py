@@ -32,6 +32,13 @@ def test_lossy_roundtrip_bounded_error(vals):
     assert np.abs(u.astype(np.int32) - x.astype(np.int32)).max() <= 2048
     m = pcm.decode(pcm.encode(x, "mp3"), "mp3")
     assert np.abs(m.astype(np.int32) - x.astype(np.int32)).max() <= 16
+    # A-law: top segment (7) quantization step is 2^11, so worst-case
+    # error stays under half that plus the mid-rise offset
+    a = pcm.decode(pcm.encode(x, "alaw"), "alaw")
+    err = np.abs(a.astype(np.int32) - x.astype(np.int32))
+    assert err.max() <= 2048
+    # companding monotonicity: re-encoding the decode is a fixed point
+    assert pcm.encode(a, "alaw") == pcm.encode(x, "alaw")
 
 
 @settings(max_examples=20, deadline=None)

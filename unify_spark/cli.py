@@ -695,6 +695,64 @@ def cmd_audio_clean(args) -> int:
     return 0
 
 
+def cmd_audio_normalize(args) -> int:
+    """Loudness-normalize a clips table to a target dBFS (decode → gain →
+    re-encode in the clip's own codec; functions/multimodal.py
+    normalize_audio_gain); knobs from corpus.audio_normalize or flags."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.multimodal import normalize_audio_gain
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "audio_normalize",
+        {
+            "id_col": "clip_id",
+            "bytes_col": "bytes",
+            "codec_col": "codec",
+            "sr_col": "sr_hz",
+            "target_dbfs": -20.0,
+            "mode": "rms",
+            "max_gain_db": 30.0,
+        },
+    )
+    spark = get_spark("unify-audio-normalize")
+    df = read_table(spark, args.table)
+    out = normalize_audio_gain(
+        df,
+        id_col=knobs["id_col"],
+        bytes_col=knobs["bytes_col"],
+        codec_col=knobs["codec_col"],
+        sr_col=knobs["sr_col"],
+        target_dbfs=float(knobs["target_dbfs"]),
+        mode=str(knobs["mode"]),
+        max_gain_db=float(knobs["max_gain_db"]),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    summary = res.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("reason") == "").cast("long")).alias("n_normalized"),
+        F.round(F.avg(F.when(F.col("reason") == "", F.col("gain_db"))), 3).alias(
+            "mean_gain_db"
+        ),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_clips": summary["n_clips"],
+                "n_normalized": int(summary["n_normalized"] or 0),
+                "mean_gain_db": summary["mean_gain_db"],
+                "out": args.out,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_audio_dedup(args) -> int:
     """Near-duplicate audio from the CLI: acoustic-fingerprint candidate
     pairs (functions/audio_dedup.py) — the same recording under a
@@ -968,6 +1026,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--near-dup-min-shared", dest="near_dup_min_shared", type=int,
                    help="enable the acoustic near-dup collapse stage")
     s.set_defaults(fn=cmd_audio_clean)
+
+    s = sub.add_parser(
+        "audio-normalize",
+        help="loudness-normalize clips to a target dBFS (decode, gain, re-encode)",
+    )
+    s.add_argument("--table", required=True, help="clips parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--config", help="YAML/JSON with a corpus.audio_normalize section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--bytes-col", dest="bytes_col")
+    s.add_argument("--codec-col", dest="codec_col")
+    s.add_argument("--sr-col", dest="sr_col")
+    s.add_argument("--target-dbfs", dest="target_dbfs", type=float)
+    s.add_argument("--mode", dest="mode", choices=["rms", "peak"])
+    s.add_argument("--max-gain-db", dest="max_gain_db", type=float)
+    s.set_defaults(fn=cmd_audio_normalize)
 
     s = sub.add_parser("generate-fixture", help="deterministic synthetic audio fixture")
     s.add_argument("--out", required=True)

@@ -59,4 +59,5 @@ from unify_spark.functions.multimodal import (  # noqa: F401
     audio_features,
     audio_segments,
     audio_sidecars,
+    normalize_audio_gain,
 )

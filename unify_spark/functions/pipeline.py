@@ -159,7 +159,10 @@ def clean_corpus(
     # persist BEFORE the count: the report counter and the caller's
     # write/collect share one computation of the whole dedup pipeline
     kept = kept.persist()
-    return kept, CleanReport(n_input, n_quality, kept.count(), n_decon)
+    n_kept = kept.count()
+    if benchmark is not None:
+        flagged.unpersist()  # kept is materialized; the flag cache can go
+    return kept, CleanReport(n_input, n_quality, n_kept, n_decon)
 
 
 def clean_audio_corpus(

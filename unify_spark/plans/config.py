@@ -270,6 +270,7 @@ class CorpusConfig:
     audio: dict = field(default_factory=dict)
     audio_clean: dict = field(default_factory=dict)
     audio_dedup: dict = field(default_factory=dict)
+    audio_normalize: dict = field(default_factory=dict)
     raw: dict = field(default_factory=dict)
 
 
@@ -277,6 +278,8 @@ _CORPUS_KEYS = {
     "clean": {
         "id_col", "text_col", "min_tokens", "max_punct_ratio",
         "max_tok_rep_ratio", "boilerplate_min_df", "min_est_jaccard",
+        "benchmark", "bench_id_col", "bench_text_col",
+        "decontaminate_n", "decontaminate_min_overlap",
     },
     "embed_dedup": {
         "id_col", "vec_col", "dim", "threshold", "n_planes", "n_bands",
@@ -293,7 +296,11 @@ _CORPUS_KEYS = {
     },
     "audio_dedup": {
         "id_col", "bytes_col", "codec_col", "sr_col", "frame_ms", "n_bands",
-        "min_shared", "max_fp_freq",
+        "min_shared", "max_fp_freq", "target_sr", "hop_ms",
+    },
+    "audio_normalize": {
+        "id_col", "bytes_col", "codec_col", "sr_col", "target_dbfs",
+        "mode", "max_gain_db",
     },
 }
 
