@@ -168,7 +168,7 @@ def run_fp_overlap_bench(n_clips: int = 512, seconds: float = 2.0) -> dict[str, 
     """Overlap-factor cost of the acoustic fingerprint: wall secs for
     ``audio_fingerprints`` over deterministic 2 s / 16 kHz tone clips at
     the legacy non-overlapping grid (hop = frame) vs the offset-robust
-    hop_ms=8 (frame/8) default — the denser grid is what buys trimmed/
+    hop_ms=4 (frame/16) default — the denser grid is what buys trimmed/
     padded re-upload detection (test_audio_near_dup_time_offset)."""
     import numpy as np
 
@@ -198,7 +198,7 @@ def run_fp_overlap_bench(n_clips: int = 512, seconds: float = 2.0) -> dict[str, 
         ).repartition(CPUS).persist()
         df.count()
         out: dict[str, float] = {}
-        for label, hop in (("audio_fp_sec_nohop", None), ("audio_fp_sec_hop8", 8)):
+        for label, hop in (("audio_fp_sec_nohop", None), ("audio_fp_sec_hop4", 4)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -340,12 +340,12 @@ other direction in the same round.
 | grid | wall sec |
 |---|---|
 | hop = frame (legacy, non-overlapping) | {fp_bench['audio_fp_sec_nohop']:.3f} |
-| hop_ms = 8 (frame/8, offset-robust default) | {fp_bench['audio_fp_sec_hop8']:.3f} |
+| hop_ms = 4 (frame/16, offset-robust default) | {fp_bench['audio_fp_sec_hop4']:.3f} |
 
-The ~8x denser rfft grid is what makes a 50-200 ms trimmed/padded re-upload
-share sub-fingerprints with its original (pinned by
+The ~16x denser rfft grid is what makes a 50-200 ms trimmed/padded re-upload
+share ALIGNED sub-fingerprints with its original (pinned by
 test_audio_near_dup_time_offset); decode still dominates the pass, so the
-end-to-end factor is far below 8x.
+end-to-end factor is far below 16x.
 """
         )
 

@@ -603,3 +603,70 @@ def test_cli_audio_normalize(spark, tmp_path, capsys):
     assert set(leveled.columns) >= {"clip_id", "bytes", "codec", "sr_hz"}
     feats = {x["clip_id"]: x["rms_db"] for x in audio_features(leveled).collect()}
     assert abs(feats["c1"] - (-23.0)) < 0.5 and abs(feats["c2"] - (-23.0)) < 0.5
+
+
+def test_aligned_pair_counts_votes_on_delta(spark):
+    """The alignment-voting kernel: matches at ONE consistent frame delta
+    (+/-1 jitter merged) count toward n_shared; the same number of matches
+    scattered over inconsistent deltas never accumulates."""
+    from unify_spark.functions.audio_dedup import _aligned_pair_counts
+
+    rows = []
+    # pair (a, b): 5 shared fps, all at delta 12 or 13 → aligned count 5
+    for i, (pa, pb) in enumerate([(0, 12), (10, 23), (20, 32), (30, 43), (40, 52)]):
+        rows += [("a", 100 + i, pa), ("b", 100 + i, pb)]
+    # pair (c, d): 6 shared fps at wildly different deltas → max aligned 1
+    for i, (pc, pd_) in enumerate([(0, 50), (10, 0), (20, 90), (30, 5), (40, 70), (50, 33)]):
+        rows += [("c", 200 + i, pc), ("d", 200 + i, pd_)]
+    sh = spark.createDataFrame(rows, "id string, fp long, pos int")
+
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in _aligned_pair_counts(sh, min_shared=5).collect()}
+    assert got == {("a", "b"): 5}
+
+
+def test_audio_near_dup_long_clip_chance_collisions(spark):
+    """The chance-collision floor on LONG clips: two different 20 s
+    recordings share dozens of 16-bit sub-fingerprints purely by density
+    (the raw set intersection crosses min_shared), but the matches scatter
+    over frame deltas — alignment voting (default) rejects the pair while
+    align=False reproduces the false positive. A real trimmed dup of the
+    same length still surfaces on the align path."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_near_dup_candidates
+
+    sr = 16000
+    t = np.arange(sr * 20) / sr
+    def long_clip(seed, f0, f1, f2):
+        rng = np.random.default_rng(seed)
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.3 * np.sin(2 * np.pi * f1 * t * (1 + 0.1 * t))
+             + 0.2 * np.sin(2 * np.pi * f2 * t)
+             + 0.02 * rng.standard_normal(len(t)))
+        return (x / np.abs(x).max() * 20000).astype("<i2")
+
+    a = long_clip(101, 450, 710, 1300)
+    b = long_clip(102, 460, 720, 1310)
+    a_trim = a[int(sr * 0.120):]
+    rows = [
+        ("a", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("b", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-trim", pcm.encode(a_trim, "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    aligned = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5).collect()
+    }
+    assert ("a", "a-trim") in aligned
+    assert not any("b" in p for p in aligned)
+
+    unaligned = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5, align=False).collect()
+    }
+    # the floor the voting kills: set intersection falsely pairs a with b
+    assert ("a", "b") in unaligned

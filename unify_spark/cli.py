@@ -776,7 +776,8 @@ def cmd_audio_dedup(args) -> int:
             "min_shared": 5,
             "max_fp_freq": 10_000,
             "target_sr": 16_000,
-            "hop_ms": 16,
+            "hop_ms": 4,
+            "align": True,
         },
     )
     spark = get_spark("unify-audio-dedup")
@@ -793,6 +794,7 @@ def cmd_audio_dedup(args) -> int:
         max_fp_freq=int(knobs["max_fp_freq"]),
         target_sr=(None if knobs["target_sr"] is None else int(knobs["target_sr"])),
         hop_ms=(None if knobs["hop_ms"] is None else int(knobs["hop_ms"])),
+        align=bool(knobs["align"]),
     )
     out.write.mode("overwrite").parquet(args.out)
     pairs = spark.read.parquet(args.out)

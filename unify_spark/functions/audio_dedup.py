@@ -102,45 +102,67 @@ def audio_fingerprints(
     frame_ms: int = 64,
     n_bands: int = 17,
     target_sr: int | None = 16000,
-    hop_ms: int | None = 8,
+    hop_ms: int | None = 4,
+    max_pos_per_fp: int = 8,
 ) -> DataFrame:
-    """(id, fps array<bigint>, n_frames, reason): the per-frame packed
-    sub-fingerprint sequence for every decodable clip. Same (codec,
-    byte-length, sr) Arrow decode grouping as audio_features; clips too
-    short for two frames emit an empty sequence with a reason.
+    """(id, fps array<bigint>, n_frames, vfps, vpos, reason): the per-frame
+    packed sub-fingerprint sequence for every decodable clip, plus the
+    alignment-voting sidecar (each sub-fp with up to ``max_pos_per_fp``
+    frame positions — ``audio_near_dup_candidates``' align path joins on
+    these). Same (codec, byte-length, sr) Arrow decode grouping as
+    audio_features; clips too short for two frames emit an empty sequence
+    with a reason.
 
     ``target_sr``: sample rates are NORMALIZED (vectorized linear resample)
     before framing, so the same recording re-uploaded at a different rate —
     a common duplicate mode — still lands on matching sub-fingerprints;
     None fingerprints each clip at its native rate.
 
-    ``hop_ms``: frame-start stride. The default 8 ms (frame/8 overlap)
+    ``hop_ms``: frame-start stride. The default 4 ms (frame/16 overlap)
     buys time-offset robustness: a re-upload trimmed or padded by e.g.
     100 ms misaligns the legacy non-overlapping grid completely, but with
-    an 8 ms hop the duplicate's frames land within 4 ms of an original
-    frame start — most sign-of-energy-difference bits survive, so the pair
-    still shares exact sub-fingerprints (measured worst case over
-    30-200 ms offsets: 24 shared sub-fps vs the min_shared=5 default at
-    hop 8; 4 at hop 16; ~1 without overlap). Cost is ~frame/hop more rfft
-    frames per clip (measured in BENCH/BASELINE.md). For very long clips
-    raise ``min_shared`` or threshold on the size-normalized ``overlap``
-    score downstream — denser fingerprints raise the chance-collision
-    floor of exact 16-bit sub-fp matching. ``hop_ms=None`` restores the
-    non-overlapping hop = frame layout."""
+    a 4 ms hop the duplicate's frames land within 2 ms of an original
+    frame start — most sign-of-energy-difference bits survive. Measured
+    worst case over 30-200 ms offsets with alignment voting: 11 aligned
+    shared sub-fps at hop 4 (vs the min_shared=5 default; 4 at hop 8;
+    ~1 without overlap), while unrelated signals — including 20 s clips,
+    whose raw set intersection reaches ~27 by 16-bit chance collisions —
+    stay at an aligned count of 1-2. Cost is ~frame/hop more rfft frames
+    per clip inside the existing decode pass (measured in
+    BENCH/BASELINE.md). ``hop_ms=None`` restores the non-overlapping
+    hop = frame layout."""
     import pandas as pd
 
     from unify_spark.functions.multimodal import _decode_group_iter
 
-    schema = f"{id_col} string, fps array<bigint>, n_frames int, reason string"
+    schema = (
+        f"{id_col} string, fps array<bigint>, n_frames int, "
+        "vfps array<bigint>, vpos array<int>, reason string"
+    )
 
     def run(batches):
         import numpy as np
+
+        def capped_positions(arr, cap):
+            # up to ``cap`` frame positions per distinct sub-fp (stable
+            # order): the alignment join's input, bounded so a periodic
+            # clip repeating one fp hundreds of times cannot blow the
+            # self-join up quadratically
+            order = np.argsort(arr, kind="stable")
+            sv = arr[order]
+            starts = np.flatnonzero(np.concatenate([[True], sv[1:] != sv[:-1]]))
+            sizes = np.diff(np.concatenate([starts, [len(sv)]]))
+            rank = np.arange(len(sv)) - np.repeat(starts, sizes)
+            keep = rank < cap
+            return sv[keep], order[keep]
 
         for pdf in batches:
             if pdf.empty:
                 continue
             n = len(pdf)
             fps: list = [[] for _ in range(n)]
+            vfps: list = [[] for _ in range(n)]
+            vpos: list = [[] for _ in range(n)]
             nfr = np.zeros(n, dtype=np.int32)
             reason = np.full(n, "", dtype=object)
             for sr, ii, _dec, x in _decode_group_iter(
@@ -168,17 +190,60 @@ def audio_fingerprints(
                         )
                     fps[i] = [int(v) for v in arr]
                     nfr[i] = len(arr)
+                    # sub-fps with (capped) frame positions — the
+                    # alignment-voting join's input, computed here in numpy
+                    # instead of with a grouped shuffle later
+                    cv, ci = capped_positions(arr, max_pos_per_fp)
+                    vfps[i] = [int(v) for v in cv]
+                    vpos[i] = [int(v) for v in ci]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype(str).to_numpy(),
                     "fps": fps,
                     "n_frames": nfr,
+                    "vfps": vfps,
+                    "vpos": vpos,
                     "reason": reason,
                 }
             )
 
     slim = df.select(id_col, bytes_col, codec_col, sr_col)
     return slim.mapInPandas(run, schema=schema)
+
+
+def _aligned_pair_counts(sh: DataFrame, min_shared: int) -> DataFrame:
+    """Time-alignment voting over an (id, fp, pos) frame: join on the
+    sub-fingerprint, histogram each pair's matches by the frame-index
+    DELTA, and score the pair by the best delta's count (±1 frame of
+    jitter merged via a range window). A true duplicate's matches
+    concentrate at one delta — the time offset between the recordings —
+    while chance collisions between unrelated long clips scatter
+    uniformly over deltas and never accumulate. This is the
+    Haitsma–Kalker lookup's alignment step as a distributed join."""
+    from pyspark.sql import Window
+
+    a, b = sh.alias("a"), sh.alias("b")
+    per_delta = (
+        a.join(b, on="fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_at_delta"))
+    )
+    w = (
+        Window.partitionBy("id_a", "id_b")
+        .orderBy("delta")
+        .rangeBetween(-1, 1)
+    )
+    return (
+        per_delta.withColumn("aligned", F.sum("n_at_delta").over(w))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("aligned").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def audio_near_dup_candidates(
@@ -192,7 +257,8 @@ def audio_near_dup_candidates(
     min_shared: int = 5,
     max_fp_freq: int | None = 10000,
     target_sr: int | None = 16000,
-    hop_ms: int | None = 8,
+    hop_ms: int | None = 4,
+    align: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, overlap): clip pairs sharing ≥ ``min_shared``
     exact sub-fingerprints — the same recording under a different codec /
@@ -201,30 +267,51 @@ def audio_near_dup_candidates(
     while unrelated audio does not.
     ``overlap`` = n_shared / min(frame counts), a containment-style score.
 
+    ``align=True`` (default): matches additionally vote on the frame-index
+    DELTA between the two clips' first occurrences of each shared
+    sub-fingerprint, and ``n_shared`` is the best single alignment's count
+    (±1 frame of jitter merged). True duplicates concentrate at one delta
+    (their time offset); chance 16-bit collisions between unrelated LONG
+    clips — the density floor that grows quadratically with clip length —
+    scatter over deltas and stay under ``min_shared``. ``align=False``
+    restores plain set-intersection counting.
+
     Scale shape: the winnow/Jaccard capped-join skeleton — DISTINCT
-    (id, fp) pairs explode, sub-fingerprints present in more than
-    ``max_fp_freq`` clips are dropped before the self-join (silence and
-    DC-flat frames hash alike and would contribute candidates
-    quadratically), shared counts aggregate, sizes join back slim."""
+    (id, fp[, first pos]) rows explode, sub-fingerprints present in more
+    than ``max_fp_freq`` clips are dropped before the self-join (silence
+    and DC-flat frames hash alike and would contribute candidates
+    quadratically), shared counts aggregate (one extra slim delta-keyed
+    aggregation + a per-pair window on the align path), sizes join back
+    slim."""
     from unify_spark.functions.dedup import _drop_hot_buckets
 
     fps = audio_fingerprints(
         df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands, target_sr, hop_ms
     ).filter(F.col("n_frames") > 0)
-    sh = fps.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct("fps")).alias("fp")
-    )
-    sh = _drop_hot_buckets(sh, ["fp"], max_fp_freq)
+    if align:
+        sh = fps.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.arrays_zip("vfps", "vpos")).alias("z"),
+        ).select(
+            "id", F.col("z.vfps").alias("fp"), F.col("z.vpos").alias("pos")
+        )
+        sh = _drop_hot_buckets(sh, ["fp"], max_fp_freq)
+        inter = _aligned_pair_counts(sh, min_shared)
+    else:
+        sh = fps.select(
+            F.col(id_col).alias("id"), F.explode(F.array_distinct("fps")).alias("fp")
+        )
+        sh = _drop_hot_buckets(sh, ["fp"], max_fp_freq)
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, on="fp")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
     sizes = fps.select(F.col(id_col).alias("id"), F.col("n_frames").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="fp")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
@@ -249,19 +336,21 @@ def audio_dup_clusters(
     max_fp_freq: int | None = 10000,
     max_iter: int = 50,
     target_sr: int | None = 16000,
-    hop_ms: int | None = 8,
+    hop_ms: int | None = 4,
+    align: bool = True,
 ) -> DataFrame:
     """(id, cluster) over acoustic near-dup candidates via the same
     pointer-doubling connected components the text and embedding paths use
     — re-encode families collapse into one cluster; clips with no
-    near-dup edge keep their own id (singletons). ``target_sr``/``hop_ms``
-    reach through to the candidate generator so a corpus fingerprinted at a
-    non-default rate or frame grid clusters consistently."""
+    near-dup edge keep their own id (singletons). ``target_sr``/``hop_ms``/
+    ``align`` reach through to the candidate generator so a corpus
+    fingerprinted at a non-default rate or frame grid clusters
+    consistently."""
     from unify_spark.functions.graph import connected_components
 
     pairs = audio_near_dup_candidates(
         df, id_col, bytes_col, codec_col, sr_col,
-        frame_ms, n_bands, min_shared, max_fp_freq, target_sr, hop_ms,
+        frame_ms, n_bands, min_shared, max_fp_freq, target_sr, hop_ms, align,
     )
     cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     return (

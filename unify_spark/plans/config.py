@@ -296,7 +296,7 @@ _CORPUS_KEYS = {
     },
     "audio_dedup": {
         "id_col", "bytes_col", "codec_col", "sr_col", "frame_ms", "n_bands",
-        "min_shared", "max_fp_freq", "target_sr", "hop_ms",
+        "min_shared", "max_fp_freq", "target_sr", "hop_ms", "align",
     },
     "audio_normalize": {
         "id_col", "bytes_col", "codec_col", "sr_col", "target_dbfs",
