@@ -16,6 +16,8 @@ from contextlib import redirect_stdout
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+MANUAL_SENTINEL = "<!-- MANUAL ANALYSIS BELOW — explain_audit.py preserves everything from this line down -->"
+
 
 def explain_str(df) -> str:
     buf = io.StringIO()
@@ -155,9 +157,22 @@ def main() -> None:
         plan = re.sub(r"Location: \S+", "Location: <fixture>", plan)
         out.append(f"\n## {title}\n\n{check}\n\n```\n{plan}\n```\n")
 
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
-    print("PLANS.md written")
+    # preserve the hand-written analysis sections (HOF pitfall, per-round
+    # plan-shape notes) that live below the sentinel — regenerating the
+    # plan dumps must not destroy them
+    path = os.path.join(REPO, "PLANS.md")
+    manual = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = f.read()
+        at = prior.find(MANUAL_SENTINEL)
+        if at != -1:
+            manual = prior[at:]
+    if not manual:
+        manual = MANUAL_SENTINEL + "\n"
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n" + manual)
+    print("PLANS.md written (manual sections preserved)")
     spark.stop()
 
 
