@@ -670,3 +670,50 @@ def test_audio_near_dup_long_clip_chance_collisions(spark):
     }
     # the floor the voting kills: set intersection falsely pairs a with b
     assert ("a", "b") in unaligned
+
+
+def test_audio_embeddings_bridge_to_vector_family(spark):
+    """The audio->vector bridge: spectral embeddings are unit-norm,
+    gain-invariant (a half-gain copy lands within cosine 0.99 of its
+    original), discriminative (different signals separate), and feed the
+    existing embedding near-dup clustering unchanged."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import audio_embeddings
+    from unify_spark.functions.similarity import embedding_dup_clusters
+
+    sr = 16000
+    a = _tone_clip(sr, 91, 440, 700, 1200)
+    half = (a.astype(np.float64) * 0.5).astype("<i2")
+    b = _tone_clip(sr, 92, 523, 880, 1500)
+    rows = [
+        ("a", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+        ("a-half", pcm.encode(half, "ulaw"), "ulaw", sr),
+        ("b", pcm.encode(b, "pcm_s16le"), "pcm_s16le", sr),
+        ("short", pcm.encode(a[:100], "pcm_s16le"), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = audio_embeddings(df, n_bands=32).persist()
+    got = {r["clip_id"]: r for r in out.collect()}
+
+    assert got["short"]["embedding"] is None and "no embedding" in got["short"]["reason"]
+    va = np.array(got["a"]["embedding"])
+    assert len(va) == 32 and abs(np.linalg.norm(va) - 1.0) < 1e-5
+    cos = lambda u, v: float(np.dot(u, v))  # noqa: E731 (unit vectors)
+    vh = np.array(got["a-half"]["embedding"])
+    vb = np.array(got["b"]["embedding"])
+    assert cos(va, vh) > 0.99          # gain + codec invariant
+    assert cos(va, vb) < 0.9           # different signals separate
+
+    # composes with the vector family unchanged
+    clusters = {
+        r["clip_id"]: r["cluster"]
+        for r in embedding_dup_clusters(
+            out.filter(out.embedding.isNotNull()), dim=32, threshold=0.98,
+            id_col="clip_id", vec_col="embedding",
+        ).collect()
+    }
+    assert clusters["a"] == clusters["a-half"]
+    assert clusters["b"] != clusters["a"]
+    out.unpersist()

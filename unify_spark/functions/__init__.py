@@ -56,6 +56,7 @@ from unify_spark.functions.audio_dedup import (  # noqa: F401
     audio_near_dup_candidates,
 )
 from unify_spark.functions.multimodal import (  # noqa: F401
+    audio_embeddings,
     audio_features,
     audio_segments,
     audio_sidecars,
