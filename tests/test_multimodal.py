@@ -717,3 +717,30 @@ def test_audio_embeddings_bridge_to_vector_family(spark):
     assert clusters["a"] == clusters["a-half"]
     assert clusters["b"] != clusters["a"]
     out.unpersist()
+
+
+def test_cli_audio_embed(spark, tmp_path, capsys):
+    """Spectral embeddings end-to-end from the CLI: an embeddings table
+    with the configured dimension, undecodable rows counted as failed."""
+    import json
+
+    from unify_spark import cli
+    from unify_spark.audio import pcm
+
+    sr = 16000
+    a = _tone_clip(sr, 95, 392, 660, 1100)
+    src = str(tmp_path / "clips")
+    spark.createDataFrame(
+        [("c1", pcm.encode(a, "pcm_s16le"), "pcm_s16le", sr),
+         ("c2", pcm.encode(a, "ulaw"), "ulaw", sr),
+         ("bad", None, "pcm_s16le", sr)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "emb")
+    rc = cli.main(["audio-embed", "--table", src, "--out", out, "--n-bands", "16"])
+    o = capsys.readouterr().out
+    r = json.loads(o[o.index("{"):])
+    assert rc == 0 and r["n_clips"] == 3 and r["n_embedded"] == 2 and r["dim"] == 16
+    emb = {x["clip_id"]: x["embedding"] for x in spark.read.parquet(out).collect()}
+    assert emb["bad"] is None and len(emb["c1"]) == 16

@@ -636,6 +636,61 @@ def cmd_audio_features(args) -> int:
     return 0
 
 
+def cmd_audio_embed(args) -> int:
+    """Deterministic spectral embeddings from the CLI (multimodal.py
+    audio_embeddings): the audio->vector bridge table, ready for
+    corpus-embed-dedup / ANN; knobs from corpus.audio_embed or flags."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.functions.multimodal import audio_embeddings
+    from unify_spark.sources import read_table
+
+    knobs = _with_config(
+        args,
+        "audio_embed",
+        {
+            "id_col": "clip_id",
+            "bytes_col": "bytes",
+            "codec_col": "codec",
+            "sr_col": "sr_hz",
+            "n_bands": 32,
+            "frame_ms": 32,
+            "target_sr": 16_000,
+        },
+    )
+    spark = get_spark("unify-audio-embed")
+    df = read_table(spark, args.table)
+    out = audio_embeddings(
+        df,
+        id_col=knobs["id_col"],
+        bytes_col=knobs["bytes_col"],
+        codec_col=knobs["codec_col"],
+        sr_col=knobs["sr_col"],
+        n_bands=int(knobs["n_bands"]),
+        frame_ms=int(knobs["frame_ms"]),
+        target_sr=(None if knobs["target_sr"] is None else int(knobs["target_sr"])),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    row = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("reason") != "").cast("long")).alias("n_failed"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_clips": row["n"],
+                "n_embedded": row["n"] - int(row["n_failed"] or 0),
+                "dim": int(knobs["n_bands"]),
+                "out": args.out,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_audio_clean(args) -> int:
     """Audio corpus gate from the CLI: decode + quality screen + exact
     payload dedup (functions/pipeline.py clean_audio_corpus); writes the
@@ -1028,6 +1083,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--near-dup-min-shared", dest="near_dup_min_shared", type=int,
                    help="enable the acoustic near-dup collapse stage")
     s.set_defaults(fn=cmd_audio_clean)
+
+    s = sub.add_parser(
+        "audio-embed",
+        help="deterministic spectral embeddings (audio -> vector bridge)",
+    )
+    s.add_argument("--table", required=True, help="clips parquet path")
+    s.add_argument("--out", required=True)
+    s.add_argument("--config", help="YAML/JSON with a corpus.audio_embed section")
+    s.add_argument("--id-col", dest="id_col")
+    s.add_argument("--bytes-col", dest="bytes_col")
+    s.add_argument("--codec-col", dest="codec_col")
+    s.add_argument("--sr-col", dest="sr_col")
+    s.add_argument("--n-bands", dest="n_bands", type=int)
+    s.add_argument("--frame-ms", dest="frame_ms", type=int)
+    s.add_argument("--target-sr", dest="target_sr", type=int)
+    s.set_defaults(fn=cmd_audio_embed)
 
     s = sub.add_parser(
         "audio-normalize",

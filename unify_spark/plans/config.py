@@ -271,6 +271,7 @@ class CorpusConfig:
     audio_clean: dict = field(default_factory=dict)
     audio_dedup: dict = field(default_factory=dict)
     audio_normalize: dict = field(default_factory=dict)
+    audio_embed: dict = field(default_factory=dict)
     raw: dict = field(default_factory=dict)
 
 
@@ -301,6 +302,10 @@ _CORPUS_KEYS = {
     "audio_normalize": {
         "id_col", "bytes_col", "codec_col", "sr_col", "target_dbfs",
         "mode", "max_gain_db",
+    },
+    "audio_embed": {
+        "id_col", "bytes_col", "codec_col", "sr_col", "n_bands",
+        "frame_ms", "target_sr",
     },
 }
 
