@@ -288,9 +288,10 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
         assert tuple(sorted(("a-wav", other))) in pairs
     assert not any("b-wav" in p or "c-wav" in p for p in pairs)
 
-    # determinism
-    f1 = sorted((r["clip_id"], tuple(r["fps"])) for r in audio_fingerprints(df).collect())
-    f2 = sorted((r["clip_id"], tuple(r["fps"])) for r in audio_fingerprints(df).collect())
+    # determinism — including the alignment-voting sidecar
+    key = lambda r: (r["clip_id"], tuple(r["fps"]), tuple(r["vfps"]), tuple(r["vpos"]))  # noqa: E731
+    f1 = sorted(key(r) for r in audio_fingerprints(df).collect())
+    f2 = sorted(key(r) for r in audio_fingerprints(df).collect())
     assert f1 == f2
     # short clip: reasoned, not crashed
     short = spark.createDataFrame(
@@ -744,3 +745,34 @@ def test_cli_audio_embed(spark, tmp_path, capsys):
     assert rc == 0 and r["n_clips"] == 3 and r["n_embedded"] == 2 and r["dim"] == 16
     emb = {x["clip_id"]: x["embedding"] for x in spark.read.parquet(out).collect()}
     assert emb["bad"] is None and len(emb["c1"]) == 16
+
+
+def test_normalize_audio_gain_idempotent(spark):
+    """Normalizing an already-normalized table is a fixed point (gains on
+    the second pass ~0 dB), and both the operator and its embedding/
+    fingerprint consumers see identical bytes across repeated runs."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.multimodal import normalize_audio_gain
+
+    sr = 16000
+    rows = [
+        (f"c{i}", pcm.encode(_tone_clip(sr, 96 + i, 392 + 10 * i, 660, 1100), "pcm_s16le"),
+         "pcm_s16le", sr)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+
+    once = normalize_audio_gain(df, target_dbfs=-20.0).persist()
+    twice = normalize_audio_gain(once, target_dbfs=-20.0)
+    g2 = {r["clip_id"]: r["gain_db"] for r in twice.collect()}
+    assert all(abs(g) < 0.1 for g in g2.values()), g2
+    # determinism: repeated runs produce identical payloads
+    b1 = sorted((r["clip_id"], bytes(r["bytes"])) for r in once.collect())
+    b2 = sorted(
+        (r["clip_id"], bytes(r["bytes"]))
+        for r in normalize_audio_gain(df, target_dbfs=-20.0).collect()
+    )
+    assert b1 == b2
+    once.unpersist()
