@@ -69,12 +69,12 @@ def test_query_matches_oracle(spark, ddb, name):
     _compare(sdf, odf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    fn = entry_mod.queries()[name]
-    sdf = fn(spark, SF_DIR)
-    assert sdf.count() >= 0
-    assert len(sdf.columns) > 0
+def test_every_query_is_oracled():
+    # The registry's contract: every queries() entry has an oracle_sql()
+    # twin (the driver's strongest per-query check). If a genuinely
+    # non-SQL-expressible query is ever registered, this pin should be
+    # replaced with a rows-only run for it.
+    assert ROWS_ONLY == [], f"queries without an oracle: {ROWS_ONLY}"
 
 
 def test_entry_smoke(spark):
