@@ -289,7 +289,12 @@ def test_audio_near_dup_across_codecs_and_gain(spark):
     assert not any("b-wav" in p or "c-wav" in p for p in pairs)
 
     # determinism — including the alignment-voting sidecar
-    key = lambda r: (r["clip_id"], tuple(r["fps"]), tuple(r["vfps"]), tuple(r["vpos"]))  # noqa: E731
+    key = lambda r: (  # noqa: E731
+        r["clip_id"],
+        tuple(r["fps"]),
+        tuple(r["vfps"]),
+        tuple(tuple(ps) for ps in r["vposs"]),
+    )
     f1 = sorted(key(r) for r in audio_fingerprints(df).collect())
     f2 = sorted(key(r) for r in audio_fingerprints(df).collect())
     assert f1 == f2
@@ -474,6 +479,46 @@ def test_audio_near_dup_time_offset(spark):
         for r in audio_near_dup_candidates(df, min_shared=5, hop_ms=None).collect()
     }
     assert ("a", "a-trim") not in legacy and ("a", "a-pad") not in legacy
+
+
+def test_audio_near_dup_stationary_signals_not_self_aligned(spark):
+    """Two UNRELATED stationary signals (steady tones, hums, near-silence)
+    each emit ONE sub-fingerprint at every frame. The alignment vote must
+    count DISTINCT fps per delta, not position pairs — counting pairs
+    would let that single shared fp self-align (cap² same-delta pairs)
+    and flag, then silently delete, unrelated hum-dominated clips. A true
+    re-encode dup of a stationary signal must still pair (its shared fp
+    count comes from the union of transition frames, not repetition)."""
+    import numpy as np
+
+    from unify_spark.audio import pcm
+    from unify_spark.functions.audio_dedup import audio_near_dup_candidates
+
+    sr = 16000
+    t = np.arange(int(sr * 2.0)) / sr
+
+    def tone(f):
+        return (0.5 * np.sin(2 * np.pi * f * t) * 32000).astype("<i2")
+
+    # two pure steady tones: constant spectrum → constant sub-fp sequence
+    rows = [
+        ("tone-500", pcm.encode(tone(500.0), "pcm_s16le"), "pcm_s16le", sr),
+        ("tone-1000", pcm.encode(tone(1000.0), "pcm_s16le"), "pcm_s16le", sr),
+        # richer signal + its mu-law re-encode: the true-dup control
+        ("a", pcm.encode(_tone_clip(sr, 61, 440, 700, 1200), "pcm_s16le"),
+         "pcm_s16le", sr),
+        ("a-ulaw", pcm.encode(_tone_clip(sr, 61, 440, 700, 1200), "ulaw"),
+         "ulaw", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup_candidates(df, min_shared=5).collect()
+    }
+    assert ("a", "a-ulaw") in pairs
+    assert not any("tone-500" in p or "tone-1000" in p for p in pairs)
 
 
 def test_audio_dup_clusters_non_default_target_sr(spark):

@@ -89,11 +89,11 @@ def test_audit_append_retries_transient_failures(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
     real = AuditLog._append_once
 
-    def flaky(self, rows, batch):
+    def flaky(self, rows, batch, is_retry=False):
         calls["n"] += 1
         if calls["n"] < 3:
             raise OSError("transient store hiccup")
-        return real(self, rows, batch)
+        return real(self, rows, batch, is_retry)
 
     monkeypatch.setattr(AuditLog, "_append_once", flaky)
     audit.append(
@@ -115,11 +115,11 @@ def test_audit_append_idempotent_under_ambiguous_failure(spark, tmp_path, monkey
     calls = {"n": 0}
     real = AuditLog._append_once
 
-    def committed_but_unacked(self, rows, batch):
+    def committed_but_unacked(self, rows, batch, is_retry=False):
         calls["n"] += 1
-        real(self, rows, batch)          # the write lands...
+        real(self, rows, batch, is_retry)  # the write lands...
         if calls["n"] == 1:
-            raise OSError("ack lost")    # ...but the caller never hears
+            raise OSError("ack lost")      # ...but the caller never hears
         return None
 
     monkeypatch.setattr(AuditLog, "_append_once", committed_but_unacked)

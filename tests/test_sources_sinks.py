@@ -207,6 +207,17 @@ def test_iceberg_adapter_dispatch_and_sql(spark, tmp_path):
     assert not ice.is_table_identifier("out.db", catalogs=["lake"])
     assert not ice.is_table_identifier("hive.db.t", catalogs=["lake"])
     assert ice.routes_to_catalog(spark, "anything.at.all") is False  # no catalog here
+    # an Iceberg-aware SESSION catalog (SparkSessionCatalog on
+    # spark_catalog) resolves plain db.table identifiers — they must
+    # route to the catalog, not to a parquet dir literally named
+    # "db.audit"; file-shaped names and 3-part foreign catalogs keep
+    # their routing
+    sess = ["spark_catalog"]
+    assert ice.is_table_identifier("db.audit", catalogs=sess)
+    assert ice.is_table_identifier("spark_catalog.db.audit", catalogs=sess)
+    assert not ice.is_table_identifier("audit.json", catalogs=sess)
+    assert not ice.is_table_identifier("other.db.t", catalogs=sess)
+    assert not ice.is_table_identifier("db.audit", catalogs=["lake"])
 
     # the statements the catalog path executes, asserted verbatim —
     # identifiers backtick-quoted so user-supplied names never parse as SQL

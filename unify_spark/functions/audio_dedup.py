@@ -105,13 +105,15 @@ def audio_fingerprints(
     hop_ms: int | None = 4,
     max_pos_per_fp: int = 8,
 ) -> DataFrame:
-    """(id, fps array<bigint>, n_frames, vfps, vpos, reason): the per-frame
-    packed sub-fingerprint sequence for every decodable clip, plus the
-    alignment-voting sidecar (each sub-fp with up to ``max_pos_per_fp``
-    frame positions — ``audio_near_dup_candidates``' align path joins on
-    these). Same (codec, byte-length, sr) Arrow decode grouping as
-    audio_features; clips too short for two frames emit an empty sequence
-    with a reason.
+    """(id, fps array<bigint>, n_frames, vfps, vposs, reason): the
+    per-frame packed sub-fingerprint sequence for every decodable clip,
+    plus the alignment-voting sidecar — ``vfps`` lists each DISTINCT
+    sub-fp once and ``vposs[i]`` its first ``max_pos_per_fp`` frame
+    positions (``audio_near_dup_candidates``' align path joins on these;
+    one row per (clip, fp) after the explode, so the hot-fp cap counts
+    CLIPS, not position rows). Same (codec, byte-length, sr) Arrow decode
+    grouping as audio_features; clips too short for two frames emit an
+    empty sequence with a reason.
 
     ``target_sr``: sample rates are NORMALIZED (vectorized linear resample)
     before framing, so the same recording re-uploaded at a different rate —
@@ -137,24 +139,30 @@ def audio_fingerprints(
 
     schema = (
         f"{id_col} string, fps array<bigint>, n_frames int, "
-        "vfps array<bigint>, vpos array<int>, reason string"
+        "vfps array<bigint>, vposs array<array<int>>, reason string"
     )
 
     def run(batches):
         import numpy as np
 
         def capped_positions(arr, cap):
-            # up to ``cap`` frame positions per distinct sub-fp (stable
+            # per DISTINCT sub-fp, up to ``cap`` frame positions (stable
             # order): the alignment join's input, bounded so a periodic
             # clip repeating one fp hundreds of times cannot blow the
-            # self-join up quadratically
+            # self-join up quadratically; grouped per fp so the exploded
+            # frame is one row per (clip, fp) and the hot-fp cap counts
+            # clips
+            if len(arr) == 0:
+                return arr, []
             order = np.argsort(arr, kind="stable")
             sv = arr[order]
             starts = np.flatnonzero(np.concatenate([[True], sv[1:] != sv[:-1]]))
             sizes = np.diff(np.concatenate([starts, [len(sv)]]))
             rank = np.arange(len(sv)) - np.repeat(starts, sizes)
             keep = rank < cap
-            return sv[keep], order[keep]
+            kept_sizes = np.minimum(sizes, cap)
+            bounds = np.cumsum(kept_sizes)[:-1]
+            return sv[starts], np.split(order[keep], bounds)
 
         for pdf in batches:
             if pdf.empty:
@@ -162,7 +170,7 @@ def audio_fingerprints(
             n = len(pdf)
             fps: list = [[] for _ in range(n)]
             vfps: list = [[] for _ in range(n)]
-            vpos: list = [[] for _ in range(n)]
+            vposs: list = [[] for _ in range(n)]
             nfr = np.zeros(n, dtype=np.int32)
             reason = np.full(n, "", dtype=object)
             for sr, ii, _dec, x in _decode_group_iter(
@@ -195,14 +203,14 @@ def audio_fingerprints(
                     # instead of with a grouped shuffle later
                     cv, ci = capped_positions(arr, max_pos_per_fp)
                     vfps[i] = [int(v) for v in cv]
-                    vpos[i] = [int(v) for v in ci]
+                    vposs[i] = [[int(p) for p in ps] for ps in ci]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype(str).to_numpy(),
                     "fps": fps,
                     "n_frames": nfr,
                     "vfps": vfps,
-                    "vpos": vpos,
+                    "vposs": vposs,
                     "reason": reason,
                 }
             )
@@ -213,33 +221,47 @@ def audio_fingerprints(
 
 def _aligned_pair_counts(sh: DataFrame, min_shared: int) -> DataFrame:
     """Time-alignment voting over an (id, fp, pos) frame: join on the
-    sub-fingerprint, histogram each pair's matches by the frame-index
-    DELTA, and score the pair by the best delta's count (±1 frame of
-    jitter merged via a range window). A true duplicate's matches
-    concentrate at one delta — the time offset between the recordings —
-    while chance collisions between unrelated long clips scatter
-    uniformly over deltas and never accumulate. This is the
-    Haitsma–Kalker lookup's alignment step as a distributed join."""
-    from pyspark.sql import Window
+    sub-fingerprint, vote each pair's matches by the frame-index DELTA,
+    and score the pair by the number of DISTINCT sub-fingerprints
+    consistent with the best single delta (±1 frame of jitter merged). A
+    true duplicate's matches concentrate at one delta — the time offset
+    between the recordings — while chance collisions between unrelated
+    long clips scatter over deltas and never accumulate. This is the
+    Haitsma–Kalker lookup's alignment step as a distributed join.
 
+    Counting distinct fps (not position pairs) is load-bearing: a clip
+    whose signal is stationary emits ONE sub-fingerprint at every frame,
+    so two UNRELATED hums/tones would otherwise self-align — the capped
+    position lists alone give cap² same-delta position pairs from that
+    single shared fp, enough to clear any min_shared. One vote per
+    (pair, fp, delta) caps a repeated fp's contribution at 1. The ±1
+    jitter merge is a 3-way delta smear + hash re-aggregation (distinct
+    count per merged center), not a range window — no per-pair sort, and
+    a fp voting at both d and d+1 still counts once at each center."""
     a, b = sh.alias("a"), sh.alias("b")
-    per_delta = (
+    delta = F.col("b.pos") - F.col("a.pos")
+    votes = (
         a.join(b, on="fp")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+            "fp",
+            delta.alias("delta"),
         )
-        .agg(F.count(F.lit(1)).alias("n_at_delta"))
+        .distinct()
     )
-    w = (
-        Window.partitionBy("id_a", "id_b")
-        .orderBy("delta")
-        .rangeBetween(-1, 1)
+    smeared = votes.select(
+        "id_a",
+        "id_b",
+        "fp",
+        F.explode(
+            F.array(F.col("delta") - 1, F.col("delta"), F.col("delta") + 1)
+        ).alias("center"),
     )
     return (
-        per_delta.withColumn("aligned", F.sum("n_at_delta").over(w))
+        smeared.groupBy("id_a", "id_b", "center")
+        .agg(F.countDistinct("fp").alias("aligned"))
         .groupBy("id_a", "id_b")
         .agg(F.max("aligned").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -289,13 +311,19 @@ def audio_near_dup_candidates(
         df, id_col, bytes_col, codec_col, sr_col, frame_ms, n_bands, target_sr, hop_ms
     ).filter(F.col("n_frames") > 0)
     if align:
-        sh = fps.select(
+        # one row per (clip, DISTINCT fp) with the capped position list —
+        # the hot-fp cap below therefore counts clips per fp (same
+        # semantics as the align=False path), not position rows; positions
+        # explode only after the cap, on the partitioning the cap's
+        # window already established
+        per_fp = fps.select(
             F.col(id_col).alias("id"),
-            F.explode(F.arrays_zip("vfps", "vpos")).alias("z"),
+            F.explode(F.arrays_zip("vfps", "vposs")).alias("z"),
         ).select(
-            "id", F.col("z.vfps").alias("fp"), F.col("z.vpos").alias("pos")
+            "id", F.col("z.vfps").alias("fp"), F.col("z.vposs").alias("poss")
         )
-        sh = _drop_hot_buckets(sh, ["fp"], max_fp_freq)
+        per_fp = _drop_hot_buckets(per_fp, ["fp"], max_fp_freq)
+        sh = per_fp.select("id", "fp", F.explode("poss").alias("pos"))
         inter = _aligned_pair_counts(sh, min_shared)
     else:
         sh = fps.select(

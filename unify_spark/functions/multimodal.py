@@ -585,6 +585,17 @@ def audio_embeddings(
             for sr, ii, _dec, x in _decode_group_iter(
                 pdf, bytes_col, codec_col, sr_col, reason
             ):
+                if sr / 2.0 <= 100.0:
+                    # same invariant as the fingerprint sibling: the
+                    # ORIGINAL rate bounds content bandwidth, and
+                    # geomspace(100, sr/2) must ascend — a descending
+                    # edge array would make searchsorted assign garbage
+                    # bands; emit no embedding instead
+                    reason[np.array(ii)] = (
+                        "no embedding (sample rate below the 100 Hz "
+                        "band floor)"
+                    )
+                    continue
                 if target_sr is not None and sr != target_sr:
                     x = _linear_resample_batch(x, sr, target_sr)
                     sr = target_sr

@@ -19,6 +19,24 @@ from unify_spark.functions import text as text_fns
 from unify_spark.functions.graph import canonical_docs, duplicate_clusters
 
 
+def _keep_one_per_key(df: DataFrame, keys: list, order_cols: list) -> DataFrame:
+    """Deterministically keep ONE row per key: row_number over the keys
+    ordered by content-derived columns. NOT ``dropDuplicates`` — that
+    keeps whichever twin's partition happens to arrive first, so
+    duplicate-id rows with different payloads would resolve differently
+    across runs, breaking the pipeline's determinism contract. The
+    ``order_cols`` must be derived from row CONTENT (digests, sidecar
+    values), never from partition or arrival order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_keep_rn", F.row_number().over(w))
+        .filter(F.col("_keep_rn") == 1)
+        .drop("_keep_rn")
+    )
+
+
 @dataclass
 class CleanReport:
     """Driver-side counters (each one aggregate over a lazy plan)."""
@@ -88,20 +106,14 @@ def clean_corpus(
     The caller owns ``kept.unpersist()`` once done with the frame.
     """
     if boilerplate_min_df is not None:
-        from pyspark.sql import Window
-
         cleaned = text_fns.remove_boilerplate_lines(
             df, id_col, text_col, min_doc_freq=boilerplate_min_df
         ).select(id_col, text_col)
         # one cleaned row per id: duplicate-id input (the state the
         # uniqueness constraint reports) must not multiply rows through
         # the join — same guard as the audio sibling's sidecar join.
-        # Content-deterministic twin pick (digest order), not first-seen
-        _tw = Window.partitionBy(id_col).orderBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
-        cleaned = (
-            cleaned.withColumn("_twin_rn", F.row_number().over(_tw))
-            .filter(F.col("_twin_rn") == 1)
-            .drop("_twin_rn")
+        cleaned = _keep_one_per_key(
+            cleaned, [id_col], [F.md5(F.coalesce(F.col(text_col), F.lit("")))]
         )
         df = df.drop(text_col).join(cleaned, on=id_col, how="inner")
     feats = text_fns.quality_features(text_col)
@@ -220,15 +232,11 @@ def clean_audio_corpus(
     ).select(
         id_col, "rms_db", "clipping_ratio", "silence_ratio", "speech_ms", "reason"
     )
-    _tw = Window.partitionBy(id_col).orderBy(
-        "reason", "rms_db", "clipping_ratio", "silence_ratio", "speech_ms"
-    )
-    sidecars = (
-        side_raw.withColumn("_twin_rn", F.row_number().over(_tw))
-        .filter(F.col("_twin_rn") == 1)
-        .drop("_twin_rn")
-        .persist()
-    )
+    sidecars = _keep_one_per_key(
+        side_raw,
+        [id_col],
+        ["reason", "rms_db", "clipping_ratio", "silence_ratio", "speech_ms"],
+    ).persist()
     # persisted: metadata-sized, and BOTH the counter aggregate and the
     # kept-branch (plus the winners sub-branch) re-derive it — without the
     # cache each action re-runs the dominant PCM decode

@@ -93,13 +93,21 @@ class AuditLog:
         if not rows:
             return
         batch = uuid.uuid4().hex
+        attempts = [0]
+
+        def once():
+            attempts[0] += 1
+            return self._append_once(rows, batch, is_retry=attempts[0] > 1)
+
         return with_retries(
-            lambda: self._append_once(rows, batch),
+            once,
             max_retries=max_retries,
             base_backoff_s=backoff_s,
         )
 
-    def _append_once(self, rows: list[dict], batch: str) -> None:
+    def _append_once(
+        self, rows: list[dict], batch: str, is_retry: bool = False
+    ) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -138,7 +146,10 @@ class AuditLog:
             # DELETE WHERE run_id, and time travel serves the drift baseline.
             # Retry-idempotence: if THIS batch_id is already visible, the
             # prior attempt committed and only the ack was lost — skip.
-            if self.spark.catalog.tableExists(self.path):
+            # Only a RETRY attempt pays the visibility scan: on the first
+            # attempt the freshly minted uuid cannot be present, and this
+            # check would otherwise add a Spark job to every append.
+            if is_retry and self.spark.catalog.tableExists(self.path):
                 already = (
                     self.spark.table(self.path)
                     .where(F.col("batch_id") == batch)

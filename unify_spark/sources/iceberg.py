@@ -101,15 +101,30 @@ def is_table_identifier(path_or_name: str, catalogs: list[str] | None = None) ->
     ``routes_to_catalog``), the first dotted component must be a CONFIGURED
     catalog name: a whitelist, so a relative filesystem target like
     ``audit.json`` or ``out.db`` can never silently route to ``writeTo``
-    just because some catalog exists and the suffix isn't on a blacklist."""
+    just because some catalog exists and the suffix isn't on a blacklist.
+
+    One deliberate exception: when ``spark_catalog`` itself is configured
+    as an Iceberg ``SparkSessionCatalog`` (the standard way to make the
+    SESSION catalog Iceberg-aware), a TWO-part identifier ``db.table``
+    resolves through it — so it routes to the catalog too, as it did for
+    every Spark SQL statement before this dispatch existed. File-shaped
+    one-dot names keep filesystem routing via the suffix guard; a
+    relative data file with an exotic suffix under a session catalog
+    must be written as an explicit path (``./out.db``) — the ``/`` forces
+    filesystem routing."""
     if (
         "/" in path_or_name
         or "." not in path_or_name
-        or path_or_name.endswith((".parquet", ".csv", ".tsv"))
+        or path_or_name.endswith(
+            (".parquet", ".csv", ".tsv", ".json", ".jsonl", ".txt", ".orc", ".avro")
+        )
     ):
         return False
     if catalogs is not None:
-        return path_or_name.split(".", 1)[0] in catalogs
+        if path_or_name.split(".", 1)[0] in catalogs:
+            return True
+        # db.table under an Iceberg-aware session catalog
+        return "spark_catalog" in catalogs and path_or_name.count(".") == 1
     return True
 
 
