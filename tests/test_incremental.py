@@ -1,0 +1,289 @@
+"""Cross-run incremental validation (plans/incremental.py): partition
+content fingerprints, the audit-seeding planner, and end-to-end equivalence
+with a full recompute."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from unify_spark.operators.base import ValidationContext
+from unify_spark.plans import ValidationRunner, audio_suite
+from unify_spark.plans.incremental import (
+    collect_fingerprints,
+    diff_fingerprints,
+    load_fingerprints,
+    partition_fingerprints,
+    plan_incremental,
+    save_fingerprints,
+)
+
+
+def _fp_map(df, part_col="part_date", **kw):
+    return {
+        r["part"]: (r["n_rows"], str(r["fp_sum"]), r["fp_xor"])
+        for r in partition_fingerprints(df, part_col, **kw).collect()
+    }
+
+
+def test_fingerprints_deterministic_and_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(f"c{i}", i % 7, f"2025-01-0{1 + i % 3}") for i in range(200)],
+        "clip_id string, v int, part_date string",
+    )
+    a = _fp_map(df)
+    b = _fp_map(df.repartition(13))  # physical layout must not matter
+    c = _fp_map(df.orderBy(F.desc("clip_id")))
+    assert a == b == c
+    assert set(a) == {"2025-01-01", "2025-01-02", "2025-01-03"}
+
+
+def test_fingerprints_catch_twin_rows_and_value_changes(spark):
+    base = spark.createDataFrame(
+        [("a", 1, "p"), ("b", 2, "p")], "clip_id string, v int, part_date string"
+    )
+    twin = spark.createDataFrame(
+        [("a", 1, "p"), ("a", 1, "p"), ("b", 2, "p")],
+        "clip_id string, v int, part_date string",
+    )
+    changed = spark.createDataFrame(
+        [("a", 1, "p"), ("b", 3, "p")], "clip_id string, v int, part_date string"
+    )
+    fb, ft, fc = _fp_map(base), _fp_map(twin), _fp_map(changed)
+    # a duplicated twin XORs to the same fp_xor — count and sum still move
+    assert fb["p"] != ft["p"] and fb["p"] != fc["p"]
+
+
+def test_fingerprints_binary_knob(spark):
+    rows_a = [("a", bytearray(b"\x01\x02"), "p")]
+    rows_b = [("a", bytearray(b"\x01\x03"), "p")]  # bytes-only change
+    schema = "clip_id string, bytes binary, part_date string"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    assert _fp_map(da) != _fp_map(db)  # include_binary default catches it
+    assert _fp_map(da, include_binary=False) == _fp_map(db, include_binary=False)
+
+
+def test_fingerprints_whole_table_row_without_part_col(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v int")
+    m = _fp_map(df)
+    assert set(m) == {"__all__"}
+
+
+def test_diff_buckets(spark):
+    now = {"t": {"p1": [1, "10", 5], "p2": [2, "20", 6], "p4": [1, "9", 9]}}
+    base = {"t": {"p1": [1, "10", 5], "p2": [2, "21", 6], "p3": [1, "8", 8]}}
+    plan = diff_fingerprints(now, base)
+    assert plan.unchanged["t"] == {"p1"}
+    assert plan.changed["t"] == {"p2"}
+    assert plan.added["t"] == {"p4"}
+    assert plan.removed["t"] == {"p3"}
+
+
+def test_save_load_roundtrip(tmp_path):
+    fps = {"clips": {"p1": [3, "123", -9]}}
+    save_fingerprints(str(tmp_path), fps)
+    assert load_fingerprints(str(tmp_path)) == fps
+    with pytest.raises(FileNotFoundError):
+        load_fingerprints(str(tmp_path / "nope"))
+
+
+@pytest.fixture()
+def baseline_run(spark, audio_tables, tmp_path):
+    """A completed full run whose out dir carries audit + fingerprints."""
+    out = str(tmp_path / "base")
+    runner = ValidationRunner(
+        spark, out, ValidationContext(run_id="base", payload_cap_ms=50)
+    )
+    res = runner.run(audio_tables, audio_suite(), resume=False)
+    save_fingerprints(out, collect_fingerprints(audio_tables))
+    return out, res
+
+
+def _mutate_partition(spark, tables, part):
+    """A copy of the tables where ONE clips partition is rewritten: every
+    codec in that partition flips to an out-of-domain value (new domain
+    violations there; every other partition byte-identical)."""
+    clips = tables["clips"].withColumn(
+        "codec",
+        F.when(F.col("part_date") == part, F.lit("codec_backfilled")).otherwise(
+            F.col("codec")
+        ),
+    )
+    return {**tables, "clips": clips}
+
+
+def test_plan_incremental_decisions(spark, audio_tables, baseline_run):
+    base_out, _ = baseline_run
+    parts = sorted(
+        r[0] for r in audio_tables["clips"].select("part_date").distinct().collect()
+    )
+    target = parts[0]
+    tables2 = _mutate_partition(spark, audio_tables, target)
+    plan, now_fps, seed_rows = plan_incremental(
+        spark, tables2, audio_suite(), base_out
+    )
+    assert plan.baseline_run_id == "base"
+    assert plan.changed["clips"] == {target}
+    assert plan.unchanged["clips"] == set(parts) - {target}
+    # every other table untouched
+    for t in ("transcript_map", "codec_domain", "reference_decode"):
+        assert not plan.changed[t] and not plan.added[t] and not plan.removed[t]
+    # partition-local constraints seeded for every unchanged partition;
+    # global ones (uniqueness/referential/equality/drift) never seeded
+    assert set(plan.seeded) == {
+        "domain:clips.codec",
+        "range:clips.sr_hz",
+        "range:clips.dur_ms",
+        "required:clips.transcript",
+        "payload:clips.bytes",
+    }
+    for c, ps in plan.seeded.items():
+        assert sorted(ps) == sorted(set(parts) - {target}), c
+    assert not plan.blocked
+    # the payload stage's second emitted name is seeded too
+    assert any(r["constraint"] == "required:clips.bytes" for r in seed_rows)
+
+
+def test_aux_table_gate_blocks_only_dependent_constraints(
+    spark, audio_tables, baseline_run
+):
+    base_out, _ = baseline_run
+    # rewrite the codec_domain dim: the domain check must NOT be seeded,
+    # while pure row-local clips checks (range/required) still seed
+    dim = audio_tables["codec_domain"]
+    tables2 = {**audio_tables, "codec_domain": dim.limit(max(dim.count() - 1, 1))}
+    plan, _, _ = plan_incremental(spark, tables2, audio_suite(), base_out)
+    assert "domain:clips.codec" in plan.blocked
+    assert "domain:clips.codec" not in plan.seeded
+    assert "range:clips.sr_hz" in plan.seeded
+    assert "payload:clips.bytes" in plan.seeded  # reference_decode unchanged
+
+
+def test_run_incremental_matches_full_recompute(
+    spark, audio_tables, baseline_run, tmp_path
+):
+    base_out, base_res = baseline_run
+    parts = sorted(
+        r[0] for r in audio_tables["clips"].select("part_date").distinct().collect()
+    )
+    target = parts[1]
+    tables2 = _mutate_partition(spark, audio_tables, target)
+
+    inc_out = str(tmp_path / "inc")
+    inc_runner = ValidationRunner(
+        spark, inc_out, ValidationContext(run_id="inc", payload_cap_ms=50)
+    )
+    inc_res, plan = inc_runner.run_incremental(
+        tables2, audio_suite(), base_out, fused=False
+    )
+
+    full_runner = ValidationRunner(
+        spark,
+        str(tmp_path / "full"),
+        ValidationContext(run_id="full", payload_cap_ms=50),
+    )
+    full_res = full_runner.run(tables2, audio_suite(), resume=False)
+
+    # identical verdict matrix and counts, run_ids aside
+    assert {k: v for k, v in inc_res.verdicts.items()} == {
+        k: v for k, v in full_res.verdicts.items()
+    }
+    assert inc_res.violation_counts == full_res.violation_counts
+    assert not inc_res.errors
+
+    # the recompute was genuinely partial: the domain constraint's violation
+    # files under the incremental out dir hold ONLY the changed partition
+    # (the baseline has domain violations in several partitions — those
+    # verdicts were seeded, their evidence stays in the baseline out dir)
+    vio_dir = os.path.join(inc_out, "violations", "domain_clips.codec")
+    vio_parts = {
+        r["part"] for r in spark.read.parquet(vio_dir).select("part").collect()
+    }
+    assert vio_parts == {target}
+    base_vio_parts = {
+        r["part"]
+        for r in spark.read.parquet(
+            os.path.join(base_out, "violations", "domain_clips.codec")
+        )
+        .select("part")
+        .collect()
+    }
+    assert len(base_vio_parts) > 1  # the skip actually skipped real work
+
+    # chaining: the incremental run saved its own fingerprints
+    assert os.path.exists(os.path.join(inc_out, "part_fingerprints.json"))
+    assert plan.changed["clips"] == {target}
+
+
+def test_run_incremental_fused_matches_full(spark, audio_tables, baseline_run, tmp_path):
+    base_out, _ = baseline_run
+    parts = sorted(
+        r[0] for r in audio_tables["clips"].select("part_date").distinct().collect()
+    )
+    tables2 = _mutate_partition(spark, audio_tables, parts[2])
+    inc_runner = ValidationRunner(
+        spark,
+        str(tmp_path / "incf"),
+        ValidationContext(run_id="incf", payload_cap_ms=50),
+    )
+    inc_res, _ = inc_runner.run_incremental(tables2, audio_suite(), base_out, fused=True)
+    full_runner = ValidationRunner(
+        spark,
+        str(tmp_path / "fullf"),
+        ValidationContext(run_id="fullf", payload_cap_ms=50),
+    )
+    full_res = full_runner.run_fused(tables2, audio_suite(), resume=False)
+    assert inc_res.verdicts == full_res.verdicts
+    assert inc_res.violation_counts == full_res.violation_counts
+
+
+def test_cli_incremental_chain(fixture_dir, tmp_path, capsys):
+    """CLI end-to-end: a plain `validate` saves the fingerprint sidecar by
+    default; a second `validate --incremental-from <out1>` on identical
+    input seeds every partition-local constraint from it (the report's
+    incremental block shows zero changed partitions) and reproduces the
+    baseline's counts."""
+    import json as _json
+
+    from unify_spark import cli
+
+    tables_args = [
+        f"clips={os.path.join(fixture_dir, 'clips')}",
+        f"transcript_map={os.path.join(fixture_dir, 'transcript_map.parquet')}",
+        f"codec_domain={os.path.join(fixture_dir, 'codec_domain.parquet')}",
+        f"reference_decode={os.path.join(fixture_dir, 'reference_decode.parquet')}",
+    ]
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    rc1 = cli.main(
+        ["validate", "--tables", *tables_args, "--out", out1, "--run-id", "r1"]
+    )
+    o = capsys.readouterr().out
+    rep1 = _json.loads(o[o.index("{"):])
+    assert rc1 == 1  # fixture has injected violations
+    assert os.path.exists(os.path.join(out1, "part_fingerprints.json"))
+
+    rc2 = cli.main(
+        [
+            "validate",
+            "--tables",
+            *tables_args,
+            "--out",
+            out2,
+            "--run-id",
+            "r2",
+            "--incremental-from",
+            out1,
+        ]
+    )
+    o = capsys.readouterr().out
+    rep2 = _json.loads(o[o.index("{"):])
+    assert rc2 == 1
+    inc = rep2["incremental"]
+    assert inc["baseline_run_id"] == "r1"
+    assert inc["tables"]["clips"]["changed"] == 0
+    assert inc["tables"]["clips"]["unchanged"] > 0
+    assert inc["seeded"]  # partition-local constraints inherited verdicts
+    assert rep2["violation_counts"] == rep1["violation_counts"]
+    # the incremental run chains: its own sidecar was saved
+    assert os.path.exists(os.path.join(out2, "part_fingerprints.json"))

@@ -85,8 +85,9 @@ def cmd_infer_json_schema(args) -> int:
     return 0
 
 
-def _finish_validate(args, runner, tables, constraints, res) -> int:
-    """Shared validate epilogue: persist this run's drift-histogram sidecar,
+def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> int:
+    """Shared validate epilogue: persist this run's drift-histogram sidecar
+    and partition fingerprints (so this run can be a later run's baseline),
     optionally score cross-run drift against a prior run's sidecar
     (``--baseline``), print the JSON report, map to the exit code."""
     if args.profile:
@@ -100,6 +101,20 @@ def _finish_validate(args, runner, tables, constraints, res) -> int:
         "stage_errors": res.errors,
         "wall_sec": round(res.wall_sec, 3),
     }
+    if inc_plan is not None:
+        report["incremental"] = inc_plan.summary()
+    elif not getattr(args, "no_fingerprints", False):
+        # one hash-agg scan per table, metadata-scale output — the sidecar
+        # a later `validate --incremental-from <this --out>` diffs against
+        from unify_spark.plans.incremental import (
+            collect_fingerprints,
+            save_fingerprints,
+        )
+
+        save_fingerprints(
+            runner.out_dir,
+            collect_fingerprints(tables, runner.ctx.part_col),
+        )
     # always persist the bounded drift histograms (n_parts × n_bins rows per
     # constraint — metadata-sized) so THIS run can be a later run's baseline
     n_hist = runner.persist_drift_histograms(tables, constraints)
@@ -150,11 +165,8 @@ def cmd_validate(args) -> int:
             cfg.run_id = args.run_id
         tables = load_tables(spark, cfg)
         runner = ValidationRunner(spark, args.out, cfg.context())
-        if args.fused:
-            res = runner.run_fused(tables, cfg.constraints, resume=not args.no_resume)
-        else:
-            res = runner.run(tables, cfg.constraints, resume=not args.no_resume)
-        return _finish_validate(args, runner, tables, cfg.constraints, res)
+        res, inc_plan = _run_validate(args, runner, tables, cfg.constraints)
+        return _finish_validate(args, runner, tables, cfg.constraints, res, inc_plan)
 
     if not args.tables:
         print("error: --tables is required without --config", file=sys.stderr)
@@ -199,11 +211,24 @@ def cmd_validate(args) -> int:
         part_col=args.part_col,
     )
     runner = ValidationRunner(spark, args.out, ctx)
+    res, inc_plan = _run_validate(args, runner, tables, constraints)
+    return _finish_validate(args, runner, tables, constraints, res, inc_plan)
+
+
+def _run_validate(args, runner, tables, constraints):
+    """Dispatch a validate run: incremental (fingerprint-diff vs a prior
+    run's out dir) when ``--incremental-from`` is given, else full."""
+    if getattr(args, "incremental_from", None):
+        res, plan = runner.run_incremental(
+            tables,
+            constraints,
+            args.incremental_from,
+            fused=args.fused,
+        )
+        return res, plan
     if args.fused:
-        res = runner.run_fused(tables, constraints, resume=not args.no_resume)
-    else:
-        res = runner.run(tables, constraints, resume=not args.no_resume)
-    return _finish_validate(args, runner, tables, constraints, res)
+        return runner.run_fused(tables, constraints, resume=not args.no_resume), None
+    return runner.run(tables, constraints, resume=not args.no_resume), None
 
 
 def cmd_compile_schema(args) -> int:
@@ -924,6 +949,15 @@ def main(argv: list[str] | None = None) -> int:
                         "partitions against its persisted drift-histogram "
                         "sidecar (<dir>/drift_hist); any cross-run drift "
                         "failure fails the run")
+    s.add_argument("--incremental-from", default=None, metavar="DIR",
+                   help="a PRIOR run's --out directory: fingerprint-diff its "
+                        "partitions against this run's tables and re-validate "
+                        "ONLY changed/added partitions for partition-local "
+                        "constraints (global checks always re-run); unchanged "
+                        "partitions inherit the prior run's verdicts")
+    s.add_argument("--no-fingerprints", action="store_true",
+                   help="skip saving the per-partition content fingerprints "
+                        "a later --incremental-from run would diff against")
     s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("compile-schema", help="compile a schema DSL (YAML/JSON) to artifacts")

@@ -108,6 +108,14 @@ class Constraint:
     # (uniqueness, referential, cross-table equality) stay stage-grain: a
     # partition subset would change their semantics.
     partition_local: bool = False
+    # The tables this constraint READS besides ``table`` (its declared read
+    # set). Cross-run incremental validation (plans/incremental.py) may seed
+    # a partition-local constraint's verdicts from a prior run only when the
+    # content its verdict depends on is unchanged: the partition's own rows
+    # PLUS every auxiliary table in this list. None = unknown read set →
+    # the seeding gate conservatively requires every other table in the run
+    # to be unchanged; [] = reads nothing but its own table's rows.
+    aux_tables: list[str] | None = None
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         raise NotImplementedError

@@ -130,6 +130,7 @@ class DomainConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(
         self,
@@ -145,6 +146,9 @@ class DomainConstraint(Constraint):
         self.dim_table = dim_table
         self.dim_key = dim_key or column
         self.name = f"domain:{table}.{column}"
+        # with a dim table, the verdict also depends on the dim's content —
+        # the incremental seeding gate must see it (plans/incremental.py)
+        self.aux_tables = [dim_table] if dim_table else []
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         df = tables[self.table]
@@ -191,6 +195,7 @@ class RangeConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(
         self,
@@ -273,6 +278,7 @@ class DerivedRangeConstraint(Constraint):
     AnyPresent own nullness."""
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(
         self,
@@ -334,6 +340,7 @@ class RequiredConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, columns: list[str], na_tokens: list[str] | None = None):
         self.table = table
@@ -394,6 +401,7 @@ class CompositeIdConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, id_col: str, components: list[str], sep: str = "-"):
         self.table = table
@@ -433,6 +441,7 @@ class EnumMappingConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, column: str, mapping: dict[str, str]):
         self.table = table
@@ -478,6 +487,7 @@ class RegexConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, column: str, pattern: str, description: str | None = None):
         self.table = table
@@ -529,6 +539,7 @@ class LengthConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, column: str, max_len: int, min_len: int = 0):
         self.table = table
@@ -576,6 +587,7 @@ class AnyPresentConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, columns: list[str]):
         self.table = table
@@ -615,6 +627,7 @@ class ConditionalConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(self, table: str, when_expr: str, then_required: list[str]):
         self.table = table
@@ -815,6 +828,7 @@ class VectorConstraint(Constraint):
     """
 
     partition_local = True
+    aux_tables: list[str] | None = []  # row-local: reads no other table
 
     def __init__(
         self,

@@ -200,6 +200,9 @@ class AudioPayloadConstraint(Constraint):
         # column); see emits
         self.null_bytes_constraint = null_bytes_constraint
         self.name = f"payload:{table}.bytes"
+        # the per-row verdict compares against the reference table's rows:
+        # incremental seeding is sound only while that table is unchanged
+        self.aux_tables = [reference_table]
 
     @property
     def emits(self) -> list[str]:

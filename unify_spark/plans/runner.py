@@ -553,6 +553,58 @@ class ValidationRunner:
             print(f"[timing] run_fused: {' '.join(parts)}", file=sys.stderr)
         return res
 
+    def run_incremental(
+        self,
+        tables: dict[str, DataFrame],
+        constraints: list[Constraint],
+        baseline_out_dir: str,
+        baseline_run_id: str | None = None,
+        fused: bool = True,
+        include_binary: bool = True,
+    ):
+        """Cross-run incremental validation: re-validate only partitions
+        whose CONTENT changed since a prior run (plans/incremental.py has
+        the full design). Fingerprints this run's tables, diffs against the
+        baseline run's saved sidecar, seeds this run's audit with the
+        baseline's per-partition verdicts for unchanged partitions of
+        partition-local constraints (gated on every auxiliary table being
+        fully unchanged), then runs with resume — the existing
+        partition-grain resume machinery recomputes exactly the
+        changed/added partitions. Global constraints (uniqueness,
+        referential, drift) always re-run: a cross-partition duplicate can
+        involve an unchanged partition. Violation EVIDENCE rows for
+        unchanged partitions remain in the baseline run's out_dir; the
+        seeded audit rows carry verdicts + counts forward, so this run's
+        verdict matrix and report are complete.
+
+        Saves this run's fingerprints to out_dir so it can chain as the
+        next run's baseline. Returns (RunResult, IncrementalPlan)."""
+        from unify_spark.plans.incremental import (
+            plan_incremental,
+            save_fingerprints,
+        )
+
+        plan, now_fps, seed_rows = plan_incremental(
+            self.spark,
+            tables,
+            constraints,
+            baseline_out_dir,
+            part_col=self.ctx.part_col,
+            baseline_run_id=baseline_run_id,
+            include_binary=include_binary,
+        )
+        if seed_rows:
+            self.audit.append(
+                [{"run_id": self.ctx.run_id, **r} for r in seed_rows]
+            )
+        res = (
+            self.run_fused(tables, constraints, resume=True)
+            if fused
+            else self.run(tables, constraints, resume=True)
+        )
+        save_fingerprints(self.out_dir, now_fps)
+        return res, plan
+
     def verdict_matrix(self) -> DataFrame:
         return self.audit.verdicts(self.ctx.run_id)
 
