@@ -335,3 +335,126 @@ def test_derived_range_from_config(spark):
                           "min": 1, "max": 30, "name": "chars_per_sec"}]}
     )
     assert cfg.constraints[0].name == "derived_range:clips.chars_per_sec"
+
+
+def test_fuzzy_equality_normalized_mode(spark):
+    """Normalized edit-distance gate: small drift passes, large drift
+    fails; canonicalization makes case/punctuation-only differences free;
+    empty-vs-empty is equal; null sides never fire (RequiredConstraint's
+    job)."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import FuzzyEqualityConstraint
+
+    left = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps over the lazy dog"),
+            ("c2", "Hello, world!"),
+            ("c3", "completely different text on this side"),
+            ("c4", ""),
+            ("c5", None),
+            ("c6", "one tiny typo in this transcript here"),
+        ],
+        "clip_id string, transcript string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c1", "t1", "the quick brown fox jumps over the lazy dog"),
+            ("c2", "t2", "hello world"),  # canonical-equal
+            ("c3", "t3", "nothing alike whatsoever over here at all"),
+            ("c4", "t4", ""),
+            ("c5", "t5", "something"),  # left null -> no fire
+            ("c6", "t6", "one tiny typo in this transcripd here"),  # 1 edit
+        ],
+        "clip_id string, transcript_id string, transcript string",
+    )
+    c = FuzzyEqualityConstraint(
+        "clips", "transcript_map", on="clip_id",
+        left_col="transcript", right_col="transcript",
+        max_norm_edit=0.1, key_col="transcript_id",
+    )
+    rows = c.violations(
+        {"clips": left, "transcript_map": right}, ValidationContext()
+    ).collect()
+    assert {r["key"] for r in rows} == {"t3"}
+    assert rows[0]["observed"].startswith("norm_edit=")
+    # without canonicalization the punctuation/case difference violates
+    c2 = FuzzyEqualityConstraint(
+        "clips", "transcript_map", on="clip_id",
+        left_col="transcript", right_col="transcript",
+        max_norm_edit=0.1, canonicalize=False, key_col="transcript_id",
+    )
+    rows2 = c2.violations(
+        {"clips": left, "transcript_map": right}, ValidationContext()
+    ).collect()
+    assert {r["key"] for r in rows2} == {"t2", "t3"}
+
+
+def test_fuzzy_equality_banded_absolute_mode(spark):
+    """max_edit_distance uses Spark's banded levenshtein (returns -1 past
+    the band): distances above the budget fail, at/below pass."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import FuzzyEqualityConstraint
+
+    left = spark.createDataFrame(
+        [("a", "abcdefgh"), ("b", "abcdefgh")], "clip_id string, transcript string"
+    )
+    right = spark.createDataFrame(
+        [("a", "ta", "abcdeXgh"), ("b", "tb", "XXXXXXXX")],
+        "clip_id string, transcript_id string, transcript string",
+    )
+    c = FuzzyEqualityConstraint(
+        "clips", "transcript_map", on="clip_id",
+        left_col="transcript", right_col="transcript",
+        max_edit_distance=2, key_col="transcript_id",
+    )
+    rows = c.violations(
+        {"clips": left, "transcript_map": right}, ValidationContext()
+    ).collect()
+    assert {r["key"] for r in rows} == {"tb"}
+    assert rows[0]["observed"].startswith("edit_distance>2")
+
+
+def test_fuzzy_equality_hash_screen_precedes_dp(spark):
+    """Scale shape: the levenshtein DP sits above a filter on the 8-byte
+    hash inequality — canonically-equal rows (the 10^12-scale majority)
+    exit at the hash screen and never reach the quadratic step."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.constraints import FuzzyEqualityConstraint
+
+    left = spark.createDataFrame(
+        [("a", "same text")], "clip_id string, transcript string"
+    )
+    right = spark.createDataFrame(
+        [("a", "t", "same text")],
+        "clip_id string, transcript_id string, transcript string",
+    )
+    c = FuzzyEqualityConstraint(
+        "clips", "transcript_map", on="clip_id",
+        left_col="transcript", right_col="transcript", key_col="transcript_id",
+    )
+    plan = c.violations(
+        {"clips": left, "transcript_map": right}, ValidationContext()
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "levenshtein" in plan
+    assert "xxhash64" in plan
+    # the hash-mismatch filter exists independently of the distance filter
+    assert plan.count("NOT (") >= 1 or "!=" in plan or "NOT (_lh" in plan
+
+
+def test_fuzzy_equality_config_factory(spark):
+    from unify_spark.plans.config import _build_constraint
+
+    c = _build_constraint(
+        {
+            "type": "fuzzy_equality",
+            "left_table": "clips",
+            "right_table": "transcript_map",
+            "on": "clip_id",
+            "left_col": "transcript",
+            "right_col": "transcript",
+            "max_norm_edit": 0.2,
+            "key_col": "transcript_id",
+        }
+    )
+    assert c.name == "fuzzy_equality:clips.transcript~transcript_map.transcript"
+    assert c.max_norm_edit == 0.2

@@ -11,6 +11,7 @@ from unify_spark.operators.constraints import (  # noqa: F401
     DomainConstraint,
     EnumMappingConstraint,
     EqualityAcrossTablesConstraint,
+    FuzzyEqualityConstraint,
     LengthConstraint,
     RangeConstraint,
     ReferentialIntegrityConstraint,

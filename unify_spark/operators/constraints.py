@@ -813,6 +813,153 @@ class EqualityAcrossTablesConstraint(Constraint):
         )
 
 
+class FuzzyEqualityConstraint(Constraint):
+    """Join two tables on a key and require the compared strings to be
+    WITHIN an edit-distance budget — the production sibling of strict
+    transcript equality for ASR data, where re-transcription legitimately
+    drifts by a few tokens and byte equality is too brittle a gate.
+
+    Two modes (``max_edit_distance`` wins when both are set):
+      - absolute: Levenshtein distance > ``max_edit_distance`` fails. Uses
+        Spark's BANDED builtin (``levenshtein(l, r, threshold)`` returns -1
+        once the band is exceeded): O(len * threshold) instead of
+        O(len^2) per pair — the difference between feasible and not on
+        hour-long transcripts.
+      - normalized (default): distance / max(len_l, len_r) > ``max_norm_edit``
+        fails (two empty strings are equal). The WER-flavored gate.
+
+    ``canonicalize=True`` compares ASR-normalized text (casefold, strip
+    punctuation, collapse whitespace) — the standard WER preprocessing —
+    so "Hello, world!" vs "hello world" is distance 0.
+
+    Scale shape: the O(n*m) DP never sees the full corpus. Stage 1 is the
+    same 8-byte-fingerprint screen as EqualityAcrossTablesConstraint (the
+    fact-sized side shuffles xxhash64(canonical) only); stage 2 fetches raw
+    text and runs the DP for the HASH-MISMATCHED keys alone — at 10^12
+    rows the overwhelming majority of pairs are byte-identical after
+    canonicalization and never pay the quadratic step. All expressions are
+    JVM-side (levenshtein is a codegen builtin; no UDF).
+
+    Reference analogue: the same upsert crosscheck diffing as the equality
+    constraint (import/upsert_coordination.clj:71-77), relaxed to a
+    distance budget.
+    """
+
+    def __init__(
+        self,
+        left_table: str,
+        right_table: str,
+        on: str,
+        left_col: str,
+        right_col: str,
+        max_norm_edit: float = 0.1,
+        max_edit_distance: int | None = None,
+        canonicalize: bool = True,
+        key_col: str | None = None,
+    ):
+        self.table = right_table  # violations attributed to the referencing side
+        self.left_table = left_table
+        self.right_table = right_table
+        self.on = on
+        self.left_col = left_col
+        self.right_col = right_col
+        self.max_norm_edit = float(max_norm_edit)
+        self.max_edit_distance = (
+            int(max_edit_distance) if max_edit_distance is not None else None
+        )
+        self.canonicalize = canonicalize
+        self.key_col = key_col
+        self.name = f"fuzzy_equality:{left_table}.{left_col}~{right_table}.{right_col}"
+
+    def _canon(self, c: Column) -> Column:
+        if not self.canonicalize:
+            return c
+        # WER-style normalization: casefold, strip everything that is not a
+        # letter/digit/space, collapse runs of whitespace, trim
+        c = F.lower(c)
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]+", "")
+        c = F.regexp_replace(c, r"\s+", " ")
+        return F.trim(c)
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        left_raw = tables[self.left_table]
+        right = tables[self.right_table]
+        key = self.key_col or self.on
+
+        # stage 1 — hash screen: identical to EqualityAcrossTablesConstraint's
+        # shuffle discipline (both columns are strings here, so no type
+        # coercion dance); canonically-equal pairs exit before any text joins
+        def _h(c):
+            return F.when(c.isNotNull(), F.xxhash64(self._canon(c)))
+
+        left_slim = left_raw.select(
+            F.col(self.on), _h(F.col(self.left_col)).alias("_lh")
+        )
+        sel = [
+            F.col(self.on),
+            F.col(self.right_col).alias("_rv"),
+            _h(F.col(self.right_col)).alias("_rh"),
+            F.col(key).alias("_k"),
+        ]
+        if "source_file" in right.columns:
+            sel += [F.col("source_file"), F.col("row_index")]
+        mismatched = (
+            right.select(*sel)
+            .join(left_slim, on=self.on, how="inner")
+            .filter(
+                F.col("_lh").isNotNull()
+                & F.col("_rh").isNotNull()
+                & (F.col("_lh") != F.col("_rh"))
+            )
+            .drop("_lh", "_rh")
+        )
+
+        # stage 2 — fetch the left text for the (small) mismatch stream and
+        # run the DP there only
+        paired = mismatched.join(
+            left_raw.select(F.col(self.on), F.col(self.left_col).alias("_lv")),
+            on=self.on,
+            how="inner",
+        )
+        lc, rc = self._canon(F.col("_lv")), self._canon(F.col("_rv"))
+        if self.max_edit_distance is not None:
+            d = F.levenshtein(lc, rc, self.max_edit_distance)
+            bad = paired.filter((d == -1) | (d > self.max_edit_distance))
+            observed = F.format_string(
+                f"edit_distance>{self.max_edit_distance}: %s",
+                F.substring(F.col("_rv"), 1, 80),
+            )
+            expected = (
+                f"within {self.max_edit_distance} edits of "
+                f"{self.left_table}.{self.left_col}"
+            )
+        else:
+            d = F.levenshtein(lc, rc)
+            maxlen = F.greatest(F.length(lc), F.length(rc))
+            norm = F.when(maxlen == 0, F.lit(0.0)).otherwise(
+                d.cast("double") / maxlen
+            )
+            bad = paired.filter(norm > self.max_norm_edit).withColumn("_norm", norm)
+            observed = F.format_string(
+                "norm_edit=%.4f: %s", F.col("_norm"), F.substring(F.col("_rv"), 1, 80)
+            )
+            expected = (
+                f"norm edit distance <= {self.max_norm_edit} vs "
+                f"{self.left_table}.{self.left_col}"
+            )
+        return make_violations(
+            bad,
+            constraint=self.name,
+            table=self.right_table,
+            key="_k",
+            column=self.right_col,
+            observed=observed,
+            expected=expected,
+            source_file="source_file" if "source_file" in right.columns else None,
+            row_index="row_index" if "row_index" in right.columns else None,
+        )
+
+
 class VectorConstraint(Constraint):
     """Embedding/vector column contract: non-null, exactly ``dim``
     elements, all finite, non-zero norm. The shape gate every

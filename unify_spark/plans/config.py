@@ -61,6 +61,7 @@ from unify_spark.operators import (
     DriftConstraint,
     EnumMappingConstraint,
     EqualityAcrossTablesConstraint,
+    FuzzyEqualityConstraint,
     LengthConstraint,
     RangeConstraint,
     ReferentialIntegrityConstraint,
@@ -164,6 +165,18 @@ def _build_constraint(spec: dict) -> Constraint:
         )
     if t == "enum_mapping":
         return EnumMappingConstraint(spec["table"], spec["column"], dict(spec["mapping"]))
+    if t == "fuzzy_equality":
+        return FuzzyEqualityConstraint(
+            spec["left_table"],
+            spec["right_table"],
+            on=spec["on"],
+            left_col=spec["left_col"],
+            right_col=spec["right_col"],
+            max_norm_edit=float(spec.get("max_norm_edit", 0.1)),
+            max_edit_distance=spec.get("max_edit_distance"),
+            canonicalize=bool(spec.get("canonicalize", True)),
+            key_col=spec.get("key_col"),
+        )
     if t == "equality":
         return EqualityAcrossTablesConstraint(
             spec["left_table"],
