@@ -201,3 +201,91 @@ def test_retry_taxonomy_fatal_not_retried():
     with pytest.raises(ValueError):
         with_retries(fatal, base_backoff_s=0.001)
     assert calls["n"] == 1  # fatal → no retries
+
+
+def test_violating_keys_sidecar_is_uncapped(spark, audio_tables, tmp_path):
+    """The quarantine split's input must be row-complete: with a tiny
+    evidence cap, the violating_keys sidecar still carries EVERY distinct
+    violating key (the capped evidence files cannot drive a clean split)."""
+    ctx = ValidationContext(
+        run_id="qk", payload_cap_ms=50, violation_cap=5, collect_violating_keys=True
+    )
+    runner = ValidationRunner(spark, str(tmp_path), ctx)
+    res = runner.run_fused(audio_tables, audio_suite(), resume=False)
+    keys = runner.violating_keys()
+    uniq = keys.filter(
+        keys.constraint == "uniqueness:clips.clip_id"
+    ).select("key").distinct().count()
+    assert uniq > 5  # far above the evidence cap
+    assert uniq <= res.violation_counts["uniqueness:clips.clip_id"]
+    # staged mode writes the same key set
+    runner2 = ValidationRunner(
+        spark,
+        str(tmp_path / "staged"),
+        ValidationContext(
+            run_id="qk2", payload_cap_ms=50, violation_cap=5,
+            collect_violating_keys=True,
+        ),
+    )
+    runner2.run(audio_tables, audio_suite(), resume=False)
+    a = {(r["constraint"], r["table"], r["key"]) for r in keys.collect()}
+    b = {(r["constraint"], r["table"], r["key"]) for r in runner2.violating_keys().collect()}
+    assert a == b
+
+
+def test_split_valid_partitions_table_exactly(spark, audio_tables, tmp_path):
+    """clean + quarantined partition the table; quarantined == rows whose
+    key appears in a row-grain clips violation; drift (partition-grain) is
+    excluded from row addressing."""
+    ctx = ValidationContext(
+        run_id="qs", payload_cap_ms=50, collect_violating_keys=True
+    )
+    runner = ValidationRunner(spark, str(tmp_path), ctx)
+    runner.run_fused(audio_tables, audio_suite(), resume=False)
+    clips = audio_tables["clips"]
+    clean, bad = runner.split_valid(clips, "clips", "clip_id", constraints=audio_suite())
+    n, nc, nb = clips.count(), clean.count(), bad.count()
+    assert nc + nb == n and nb > 0
+    # exact expected key set: every clips-table violation key except drift's
+    expect = {
+        r["key"]
+        for r in runner.violating_keys()
+        .filter("table = 'clips' AND constraint NOT LIKE 'drift:%'")
+        .collect()
+        if r["key"] is not None
+    }
+    got = {r["clip_id"] for r in bad.select("clip_id").distinct().collect()}
+    assert got == expect
+    # no overlap between the two sides
+    assert clean.join(bad, on="clip_id", how="left_semi").count() == 0
+
+
+def test_cli_quarantine_to(fixture_dir, tmp_path, capsys):
+    import json as _json
+    import os as _os
+
+    from unify_spark import cli
+
+    tables_args = [
+        f"clips={_os.path.join(fixture_dir, 'clips')}",
+        f"transcript_map={_os.path.join(fixture_dir, 'transcript_map.parquet')}",
+        f"codec_domain={_os.path.join(fixture_dir, 'codec_domain.parquet')}",
+        f"reference_decode={_os.path.join(fixture_dir, 'reference_decode.parquet')}",
+    ]
+    out, q = str(tmp_path / "out"), str(tmp_path / "q")
+    rc = cli.main(
+        ["validate", "--tables", *tables_args, "--out", out, "--run-id", "rq",
+         "--fused", "--quarantine-to", q]
+    )
+    o = capsys.readouterr().out
+    rep = _json.loads(o[o.index("{"):])
+    assert rc == 1
+    qr = rep["quarantine"]
+    assert qr["quarantined_rows"] > 0
+    from unify_spark.session import get_spark
+
+    spark = get_spark()
+    total = spark.read.parquet(_os.path.join(fixture_dir, "clips")).count()
+    assert qr["clean_rows"] + qr["quarantined_rows"] == total
+    assert _os.path.exists(_os.path.join(q, "clean"))
+    assert _os.path.exists(_os.path.join(q, "quarantined"))

@@ -136,6 +136,30 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
         report["drift_vs_baseline_failed"] = n_drifted
         if n_drifted:
             report["passed"] = False
+    if any(getattr(c, "is_sampled", False) for c in constraints):
+        # sampled payload mode: counts above are of the hash-sample; attach
+        # the Wilson-extrapolated full-table band per emitted name
+        report["sampled_estimates"] = runner.sampling_estimates(
+            tables, constraints, res
+        )
+    if getattr(args, "quarantine_to", None):
+        # expect-or-drop epilogue: route rows whose key violated any
+        # row-grain constraint to quarantine, ship the clean remainder
+        table = args.quarantine_table
+        clean, bad = runner.split_valid(
+            tables[table], table, args.quarantine_key, constraints=constraints
+        )
+        qdir = args.quarantine_to
+        clean.write.mode("overwrite").parquet(os.path.join(qdir, "clean"))
+        bad.write.mode("overwrite").parquet(os.path.join(qdir, "quarantined"))
+        n_bad = runner.spark.read.parquet(os.path.join(qdir, "quarantined")).count()
+        n_clean = runner.spark.read.parquet(os.path.join(qdir, "clean")).count()
+        report["quarantine"] = {
+            "table": table,
+            "clean_rows": n_clean,
+            "quarantined_rows": n_bad,
+            "dir": qdir,
+        }
     print(json.dumps(report, indent=2, sort_keys=True))
     if res.errors:
         return 2
@@ -192,7 +216,9 @@ def cmd_validate(args) -> int:
             mm = Metamodel.from_json(f.read())
         constraints = compile_constraints(mm)
     else:
-        constraints = audio_suite()
+        constraints = audio_suite(
+            payload_sample_rate=getattr(args, "payload_sample_rate", None)
+        )
         needed = {"clips", "transcript_map", "codec_domain", "reference_decode"}
         missing = sorted(needed - set(tables))
         if missing:
@@ -218,6 +244,10 @@ def cmd_validate(args) -> int:
 def _run_validate(args, runner, tables, constraints):
     """Dispatch a validate run: incremental (fingerprint-diff vs a prior
     run's out dir) when ``--incremental-from`` is given, else full."""
+    if getattr(args, "quarantine_to", None):
+        # the split needs the UNCAPPED key sidecar, so the flag must be
+        # set before the run executes
+        runner.ctx.collect_violating_keys = True
     if getattr(args, "incremental_from", None):
         res, plan = runner.run_incremental(
             tables,
@@ -958,6 +988,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-fingerprints", action="store_true",
                    help="skip saving the per-partition content fingerprints "
                         "a later --incremental-from run would diff against")
+    s.add_argument("--payload-sample-rate", dest="payload_sample_rate",
+                   type=float, default=None, metavar="R",
+                   help="built-in suite only: run the decode-heavy payload "
+                        "check on a deterministic hash-sample of rate R "
+                        "(0<R<=1) and report Wilson-extrapolated "
+                        "sampled_estimates; all other checks stay exhaustive")
+    s.add_argument("--quarantine-to", default=None, metavar="DIR",
+                   help="expect-or-drop: after validating, write DIR/clean "
+                        "(rows whose key violated no row-grain constraint) "
+                        "and DIR/quarantined (the rest) for the quarantine "
+                        "table; forces the uncapped violating-keys sidecar")
+    s.add_argument("--quarantine-table", default="clips",
+                   help="table to split (default clips)")
+    s.add_argument("--quarantine-key", default="clip_id",
+                   help="row key column of the quarantine table (default clip_id)")
     s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("compile-schema", help="compile a schema DSL (YAML/JSON) to artifacts")

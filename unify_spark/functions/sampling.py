@@ -27,6 +27,24 @@ _HEX_WIDTH = 8
 _HEX_SPACE = 16**_HEX_WIDTH
 
 
+def wilson_interval(k: int, n: int, z: float = 1.959963984540054) -> tuple[float, float]:
+    """Wilson score interval for a binomial proportion: ``k`` successes in
+    ``n`` trials at confidence ``z`` (default 95%). Preferred over the normal
+    approximation because it stays inside [0, 1] and behaves at k=0 / k=n —
+    exactly the regimes a violation-rate estimate lives in (most corpora are
+    nearly clean, so k is tiny). Returns (low, high); (0.0, 1.0) when n=0."""
+    if n <= 0:
+        return (0.0, 1.0)
+    if not 0 <= k <= n:
+        raise ValueError(f"need 0 <= k <= n, got k={k} n={n}")
+    p = k / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (z / denom) * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5)
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
 def hash_threshold(rate: float) -> str:
     """The 8-hex-digit threshold for ``rate``; md5-prefix < threshold keeps
     ~rate of rows. Exposed so oracle SQL can embed the identical literal."""

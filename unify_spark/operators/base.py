@@ -45,6 +45,13 @@ class ValidationContext:
     fail_fast: bool = False  # reference kills a file job on first anomaly
     payload_cap_ms: int | None = 50  # fixture payload truncation (None = full)
     part_col: str = "part_date"
+    # also persist the UNCAPPED distinct (constraint, table, key) set to
+    # <out>/violating_keys — the quarantine split's input. The evidence
+    # files are capped per constraint (violation_cap), so they cannot drive
+    # a row-complete clean/quarantine partition; this slim 3-column sidecar
+    # can, and it is derived from the already-persisted violation frame
+    # (one extra distinct, no recompute of the constraint plans).
+    collect_violating_keys: bool = False
     extra: dict = field(default_factory=dict)
 
 

@@ -191,6 +191,8 @@ class AudioPayloadConstraint(Constraint):
         reference_table: str = "reference_decode",
         snr_threshold_db: float = 30.0,
         null_bytes_constraint: str | None = None,
+        sample_rate: float | None = None,
+        sample_salt: str = "",
     ):
         self.table = table
         self.reference_table = reference_table
@@ -199,10 +201,35 @@ class AudioPayloadConstraint(Constraint):
         # from THIS scan (so a RequiredConstraint need not re-read the bytes
         # column); see emits
         self.null_bytes_constraint = null_bytes_constraint
+        # sampled mode: decode only a deterministic hash-sample of the rows
+        # (the decode dominates suite cost at 10^12 rows; the per-row check
+        # is iid across clips, so a sample bounds the corpus violation rate).
+        # The keep set is keyed by md5(clip_id||salt) — stable across runs,
+        # partitionings, and cluster sizes, so re-runs re-decode the SAME
+        # clips and the evidence rows stay comparable. NULL-keyed rows are
+        # always kept (never silently skip an unaddressable row).
+        # `sampling_estimates` extrapolates sampled violation counts to the
+        # full table with a Wilson interval.
+        if sample_rate is not None and not (0.0 < sample_rate <= 1.0):
+            raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
+        self.sample_rate = sample_rate
+        self.sample_salt = sample_salt
         self.name = f"payload:{table}.bytes"
         # the per-row verdict compares against the reference table's rows:
         # incremental seeding is sound only while that table is unchanged
         self.aux_tables = [reference_table]
+
+    @property
+    def is_sampled(self) -> bool:
+        return self.sample_rate is not None and self.sample_rate < 1.0
+
+    def _keep(self):
+        from unify_spark.functions.sampling import hash_keep
+
+        return F.coalesce(
+            hash_keep(F.col("clip_id").cast("string"), self.sample_rate, self.sample_salt),
+            F.lit(True),  # NULL clip_id: keep — never sample away an unaddressable row
+        )
 
     @property
     def emits(self) -> list[str]:
@@ -223,6 +250,10 @@ class AudioPayloadConstraint(Constraint):
             "codec",
             (F.col(part_col) if part_col else F.lit(None).cast("string")).alias("part"),
         )
+        if self.is_sampled:
+            # pure Column predicate BEFORE the decode: pushes toward the scan,
+            # so non-sampled rows never cross the Arrow boundary
+            slim = slim.where(self._keep())
 
         thr = self.snr_threshold_db
 

@@ -189,11 +189,14 @@ def _build_constraint(spec: dict) -> Constraint:
     if t == "upsert_conflict":
         return UpsertConflictConstraint(spec["table"], list(spec["keys"]), list(spec["compare"]))
     if t == "payload":
+        sr = spec.get("sample_rate")
         return AudioPayloadConstraint(
             spec.get("table", "clips"),
             spec.get("reference_table", "reference_decode"),
             snr_threshold_db=float(spec.get("snr_threshold_db", 30.0)),
             null_bytes_constraint=spec.get("null_bytes_constraint"),
+            sample_rate=None if sr is None else float(sr),
+            sample_salt=str(spec.get("sample_salt", "")),
         )
     if t == "vector":
         return VectorConstraint(

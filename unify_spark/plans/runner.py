@@ -11,6 +11,7 @@ reference src/com/vendekagonlabs/unify/db/import_coordination.clj:60-84).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -222,6 +223,17 @@ class ValidationRunner:
                         .write.mode(mode)
                         .parquet(os.path.join(self.out_dir, "violations", _safe(c.name)))
                     )
+                    if self.ctx.collect_violating_keys:
+                        # uncapped key set (quarantine input); dynamic
+                        # overwrite scoped to THIS stage's constraint names
+                        with_retries(
+                            lambda: vio.select("constraint", "table", "key")
+                            .distinct()
+                            .write.mode("append" if partial else "overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .partitionBy("constraint")
+                            .parquet(os.path.join(self.out_dir, "violating_keys"))
+                        )
                 # phase 1: part-grain lineage rows land AFTER the violation
                 # write — a kill between the two leaves violations without
                 # lineage (rewritten by the resumed run) rather than 'fail'
@@ -476,6 +488,21 @@ class ValidationRunner:
                 .collect()
             )
             _mark("fused_count")
+            if self.ctx.collect_violating_keys:
+                # UNCAPPED distinct key set off the persisted frame — the
+                # quarantine split's row-complete input (the evidence write
+                # below is capped and cannot drive one). Same dynamic
+                # overwrite discipline: a partial resume replaces only the
+                # constraints it recomputed.
+                with_retries(
+                    lambda: fused.select("constraint", "table", "key")
+                    .distinct()
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("constraint")
+                    .parquet(os.path.join(self.out_dir, "violating_keys"))
+                )
+                _mark("violating_keys")
             counts: dict[str, dict] = {
                 name: {} for c in todo for name in getattr(c, "emits", [c.name])
             }
@@ -607,6 +634,101 @@ class ValidationRunner:
 
     def verdict_matrix(self) -> DataFrame:
         return self.audit.verdicts(self.ctx.run_id)
+
+    # -- sampled-constraint extrapolation -------------------------------------
+
+    def sampling_estimates(
+        self,
+        tables: dict[str, DataFrame],
+        constraints: list[Constraint],
+        res,
+    ) -> dict[str, dict]:
+        """Extrapolate sampled constraints' violation counts to the full
+        table: per emitted constraint name, the sampled violation rate, a
+        Wilson 95% interval on the true rate, and the implied total-count
+        band. Cost: two single-column counts per sampled constraint
+        (metadata-scale next to the decode the sample skipped). Empty when
+        no constraint ran in sampled mode."""
+        from unify_spark.functions.sampling import wilson_interval
+
+        out: dict[str, dict] = {}
+        for c in constraints:
+            if not getattr(c, "is_sampled", False):
+                continue
+            df = tables[c.table]
+            n_total = df.count()
+            n_sampled = df.where(c._keep()).count()
+            for name in getattr(c, "emits", [c.name]):
+                if name in res.errors:
+                    continue  # stage died — counts aren't a sample of anything
+                k = res.violation_counts.get(name, 0)
+                lo, hi = wilson_interval(k, n_sampled)
+                out[name] = {
+                    "sample_rate": c.sample_rate,
+                    "sampled_rows": n_sampled,
+                    "total_rows": n_total,
+                    "sampled_violations": k,
+                    "violation_rate": (k / n_sampled) if n_sampled else None,
+                    "estimated_total_violations": (
+                        int(round(k / n_sampled * n_total)) if n_sampled else None
+                    ),
+                    "wilson95_rate": [lo, hi],
+                    "wilson95_total": [int(lo * n_total), math.ceil(hi * n_total)],
+                }
+        return out
+
+    # -- quarantine split -----------------------------------------------------
+
+    def violating_keys(self) -> DataFrame:
+        """The run's UNCAPPED distinct (constraint, table, key) sidecar —
+        written when ``ctx.collect_violating_keys`` is set."""
+        path = os.path.join(self.out_dir, "violating_keys")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no violating_keys sidecar under {self.out_dir} — run with "
+                "ValidationContext(collect_violating_keys=True) (CLI: "
+                "--quarantine-to)"
+            )
+        return self.spark.read.parquet(path)
+
+    def split_valid(
+        self,
+        df: DataFrame,
+        table: str,
+        key_col: str,
+        constraints: list[Constraint] | None = None,
+        exclude: tuple[str, ...] = (),
+    ) -> tuple[DataFrame, DataFrame]:
+        """(clean, quarantined): partition ``df`` by whether the row's key
+        appears in this run's violating-key set for ``table`` — the
+        expect-or-drop pattern (route bad rows to quarantine, ship the
+        clean table) without recomputing any constraint.
+
+        Partition-grain constraints (drift) key violations by PARTITION,
+        not row key, so they are excluded automatically when
+        ``constraints`` is supplied (and can be excluded by name via
+        ``exclude``): a drifted partition is an alerting signal, not a
+        per-row defect. Rows whose violation key is NULL cannot be
+        row-addressed and do not quarantine (their constraints still fail
+        the run). The two outputs partition ``df`` exactly: every input
+        row lands in exactly one side.
+
+        Scale shape: the keys side is the (usually small) violation set —
+        Catalyst broadcasts it under AQE when it fits; the big table is
+        never shuffled for the anti/semi pair beyond that join."""
+        drop = set(exclude)
+        if constraints is not None:
+            for c in constraints:
+                if getattr(c, "partition_grain", False):
+                    drop.update(getattr(c, "emits", [c.name]))
+        keys = self.violating_keys().filter(F.col("table") == table)
+        if drop:
+            keys = keys.filter(~F.col("constraint").isin(list(drop)))
+        keys = keys.select(F.col("key").alias("__vk")).distinct()
+        cond = df[key_col] == F.col("__vk")
+        clean = df.join(keys, on=cond, how="left_anti")
+        quarantined = df.join(keys, on=cond, how="left_semi")
+        return clean, quarantined
 
     # -- cross-run drift sidecars --------------------------------------------
 

@@ -42,9 +42,19 @@ def load_audio_tables(spark: SparkSession, fixture_dir: str) -> dict[str, DataFr
     }
 
 
-def audio_suite(include_payload: bool = True, include_drift: bool = True) -> list[Constraint]:
+def audio_suite(
+    include_payload: bool = True,
+    include_drift: bool = True,
+    payload_sample_rate: float | None = None,
+) -> list[Constraint]:
     """Full constraint suite per the north rule: uniqueness, referential,
-    domain, range, nullness, transcript equality, payload, drift."""
+    domain, range, nullness, transcript equality, payload, drift.
+
+    ``payload_sample_rate`` puts ONLY the decode-heavy payload check in
+    deterministic hash-sampled mode (everything else stays exhaustive —
+    the cheap Column-expression checks gain nothing from sampling);
+    ``ValidationRunner.sampling_estimates`` then extrapolates its counts
+    with a Wilson interval."""
     suite: list[Constraint] = [
         UniquenessConstraint("clips", ["clip_id"], salted=True),
         ReferentialIntegrityConstraint(
@@ -67,6 +77,7 @@ def audio_suite(include_payload: bool = True, include_drift: bool = True) -> lis
             AudioPayloadConstraint(
                 "clips", "reference_decode",
                 null_bytes_constraint="required:clips.bytes",
+                sample_rate=payload_sample_rate,
             )
         )
     else:
