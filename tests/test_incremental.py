@@ -287,3 +287,67 @@ def test_cli_incremental_chain(fixture_dir, tmp_path, capsys):
     assert rep2["violation_counts"] == rep1["violation_counts"]
     # the incremental run chains: its own sidecar was saved
     assert os.path.exists(os.path.join(out2, "part_fingerprints.json"))
+
+
+def test_zero_diff_seeds_global_constraints(spark, audio_tables, baseline_run, tmp_path):
+    """When NO table changed (the daily "did anything change" re-run), even
+    global constraints (uniqueness/referential/equality/drift) seed from the
+    baseline — the whole re-validation is metadata-only: every stage skips."""
+    base_out, base_res = baseline_run
+    suite = audio_suite()
+    plan, _, seed_rows = plan_incremental(spark, audio_tables, suite, base_out)
+    assert plan.zero_diff
+    all_names = {c.name for c in suite}
+    assert set(plan.seeded) == all_names  # globals included
+    assert not plan.blocked
+    # a stage-done row is seeded for every GLOBAL constraint (locals get
+    # theirs from the runner's own pending-empty path)
+    done_rows = {r["constraint"] for r in seed_rows if r["status"] == "done"}
+    globals_ = {c.name for c in suite if not getattr(c, "partition_local", False)}
+    assert done_rows == globals_
+
+    inc_out = str(tmp_path / "zd")
+    runner = ValidationRunner(
+        spark, inc_out, ValidationContext(run_id="zd", payload_cap_ms=50)
+    )
+    res, plan2 = runner.run_incremental(audio_tables, suite, base_out, fused=True)
+    assert plan2.zero_diff
+    assert set(res.skipped) == all_names  # nothing recomputed
+    assert res.violation_counts == base_res.violation_counts
+    assert res.verdicts == base_res.verdicts
+    assert not res.errors and not os.path.exists(os.path.join(inc_out, "violations"))
+
+
+def test_zero_diff_gate_requires_completed_baseline_stage(
+    spark, audio_tables, tmp_path
+):
+    """A global constraint absent from (or incomplete in) the baseline run
+    re-runs even under zero diff."""
+    base_out = str(tmp_path / "subset_base")
+    subset = [c for c in audio_suite() if not c.name.startswith("drift:")]
+    runner = ValidationRunner(
+        spark, base_out, ValidationContext(run_id="sb", payload_cap_ms=50)
+    )
+    runner.run(audio_tables, subset, resume=False)
+    save_fingerprints(base_out, collect_fingerprints(audio_tables))
+
+    full = audio_suite()
+    drift_names = {c.name for c in full if c.name.startswith("drift:")}
+    plan, _, _ = plan_incremental(spark, audio_tables, full, base_out)
+    assert plan.zero_diff
+    assert drift_names.isdisjoint(set(plan.seeded))  # not in baseline -> re-run
+    assert set(plan.seeded) == {c.name for c in full} - drift_names
+
+
+def test_single_changed_partition_disables_global_seeding(
+    spark, audio_tables, baseline_run
+):
+    base_out, _ = baseline_run
+    parts = sorted(
+        r[0] for r in audio_tables["clips"].select("part_date").distinct().collect()
+    )
+    tables2 = _mutate_partition(spark, audio_tables, parts[0])
+    plan, _, seed_rows = plan_incremental(spark, tables2, audio_suite(), base_out)
+    assert not plan.zero_diff
+    assert "uniqueness:clips.clip_id" not in plan.seeded
+    assert not any(r["status"] == "done" for r in seed_rows)

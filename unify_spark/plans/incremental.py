@@ -30,10 +30,14 @@ How it works:
    baseline's per-partition pass/fail rows for unchanged partitions of
    partition-local constraints, then run with resume: the existing
    partition-grain resume machinery recomputes exactly the changed/added
-   partitions. Global constraints (uniqueness, referential, drift) always
-   re-run — a cross-partition duplicate can involve an unchanged partition,
-   so no partition-grain skip is sound for them (they are key-only scans;
-   the decode-heavy checks are the partition-local ones).
+   partitions. Global constraints (uniqueness, referential, drift) re-run
+   whenever ANY partition changed — a cross-partition duplicate can involve
+   an unchanged partition, so no partition-grain skip is sound for them
+   (they are key-only scans; the decode-heavy checks are the
+   partition-local ones). The one sound exception is the ZERO-DIFF fast
+   path: when every table is content-identical to the baseline, a global
+   result is a pure function of unchanged inputs, so the planner seeds the
+   stage as done and the whole re-validation becomes metadata-only.
 
 Soundness gate: a partition-local constraint may consult auxiliary tables
 (the codec domain check joins its enum dim; the payload check joins the
@@ -178,10 +182,14 @@ class IncrementalPlan:
     seeded: dict[str, list] = field(default_factory=dict)
     # constraints whose seeding the auxiliary-table gate blocked
     blocked: dict[str, str] = field(default_factory=dict)
+    # True when EVERY table in the run is content-identical to the
+    # baseline — the zero-diff fast path also seeds GLOBAL constraints
+    zero_diff: bool = False
 
     def summary(self) -> dict:
         return {
             "baseline_run_id": self.baseline_run_id,
+            "zero_diff": self.zero_diff,
             "tables": {
                 t: {
                     "unchanged": len(self.unchanged.get(t, ())),
@@ -239,9 +247,51 @@ def plan_incremental(
             return False
         return not (plan.changed[t] or plan.added[t] or plan.removed[t])
 
+    plan.zero_diff = all(table_fully_unchanged(t) for t in tables)
+    base_done = base_audit.completed_constraints(plan.baseline_run_id)
+
     seed_rows: list[dict] = []
     for c in constraints:
         if not getattr(c, "partition_local", False):
+            # Global constraints (uniqueness, referential, drift) normally
+            # always re-run — a cross-partition duplicate can involve an
+            # unchanged partition, so no PARTITION-grain skip is sound. But
+            # when EVERY table in the run is content-identical to the
+            # baseline (zero-diff: the daily "did anything change" re-run),
+            # the global result is a pure function of unchanged inputs:
+            # seed the baseline's per-partition verdicts AND a stage-done
+            # row so the runner skips the stage outright — the whole
+            # re-validation becomes metadata-only. Gated on the baseline
+            # stage having actually COMPLETED (errored/absent stages
+            # re-run).
+            if not (plan.zero_diff and c.name in base_done):
+                continue
+            total = 0
+            seeded_parts: list[str] = []
+            for name in getattr(c, "emits", [c.name]):
+                for p, (status, n) in sorted(
+                    base_parts.get(name, {}).items(), key=lambda kv: str(kv[0])
+                ):
+                    seed_rows.append(
+                        {
+                            "constraint": name,
+                            "part": p,
+                            "status": status,
+                            "violation_count": n,
+                        }
+                    )
+                    if name == c.name:
+                        seeded_parts.append(p)
+                        total += n
+            seed_rows.append(
+                {
+                    "constraint": c.name,
+                    "part": None,
+                    "status": "done",
+                    "violation_count": total,
+                }
+            )
+            plan.seeded[c.name] = seeded_parts
             continue
         if c.table not in now_fps:
             continue

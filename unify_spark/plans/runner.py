@@ -598,8 +598,10 @@ class ValidationRunner:
         fully unchanged), then runs with resume — the existing
         partition-grain resume machinery recomputes exactly the
         changed/added partitions. Global constraints (uniqueness,
-        referential, drift) always re-run: a cross-partition duplicate can
-        involve an unchanged partition. Violation EVIDENCE rows for
+        referential, drift) re-run whenever any partition changed (a
+        cross-partition duplicate can involve an unchanged partition) —
+        but under ZERO diff (no table changed at all) they seed too, and
+        the whole re-validation is metadata-only. Violation EVIDENCE rows for
         unchanged partitions remain in the baseline run's out_dir; the
         seeded audit rows carry verdicts + counts forward, so this run's
         verdict matrix and report are complete.
