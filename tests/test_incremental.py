@@ -351,3 +351,72 @@ def test_single_changed_partition_disables_global_seeding(
     assert not plan.zero_diff
     assert "uniqueness:clips.clip_id" not in plan.seeded
     assert not any(r["status"] == "done" for r in seed_rows)
+
+
+def test_incremental_quarantine_matches_full_recompute(
+    spark, audio_tables, tmp_path
+):
+    """Quarantine after an incremental run must be row-complete: seeded
+    partitions' violating keys compose in from the baseline's sidecar."""
+    base_out = str(tmp_path / "qbase")
+    base_runner = ValidationRunner(
+        spark,
+        base_out,
+        ValidationContext(run_id="qb", payload_cap_ms=50, collect_violating_keys=True),
+    )
+    base_runner.run_fused(audio_tables, audio_suite(), resume=False)
+    save_fingerprints(base_out, collect_fingerprints(audio_tables))
+
+    parts = sorted(
+        r[0] for r in audio_tables["clips"].select("part_date").distinct().collect()
+    )
+    tables2 = _mutate_partition(spark, audio_tables, parts[0])
+
+    inc_runner = ValidationRunner(
+        spark,
+        str(tmp_path / "qinc"),
+        ValidationContext(run_id="qi", payload_cap_ms=50, collect_violating_keys=True),
+    )
+    inc_runner.run_incremental(tables2, audio_suite(), base_out)
+    _, inc_bad = inc_runner.split_valid(
+        tables2["clips"], "clips", "clip_id", constraints=audio_suite()
+    )
+
+    full_runner = ValidationRunner(
+        spark,
+        str(tmp_path / "qfull"),
+        ValidationContext(run_id="qf", payload_cap_ms=50, collect_violating_keys=True),
+    )
+    full_runner.run_fused(tables2, audio_suite(), resume=False)
+    _, full_bad = full_runner.split_valid(
+        tables2["clips"], "clips", "clip_id", constraints=audio_suite()
+    )
+
+    inc_keys = {r["clip_id"] for r in inc_bad.select("clip_id").distinct().collect()}
+    full_keys = {r["clip_id"] for r in full_bad.select("clip_id").distinct().collect()}
+    assert inc_keys == full_keys and full_keys
+    # and the seeded partitions genuinely contributed keys (the baseline has
+    # violations outside the mutated partition)
+    outside = {
+        r["clip_id"]
+        for r in inc_bad.filter(F.col("part_date") != parts[0])
+        .select("clip_id")
+        .distinct()
+        .collect()
+    }
+    assert outside
+
+
+def test_incremental_quarantine_requires_baseline_sidecar(
+    spark, audio_tables, baseline_run, tmp_path
+):
+    """baseline_run did NOT collect violating keys — composing must fail
+    loudly, not under-quarantine silently."""
+    base_out, _ = baseline_run
+    runner = ValidationRunner(
+        spark,
+        str(tmp_path / "nq"),
+        ValidationContext(run_id="nq", payload_cap_ms=50, collect_violating_keys=True),
+    )
+    with pytest.raises(FileNotFoundError, match="violating_keys"):
+        runner.run_incremental(audio_tables, audio_suite(), base_out)

@@ -227,7 +227,7 @@ class ValidationRunner:
                         # uncapped key set (quarantine input); dynamic
                         # overwrite scoped to THIS stage's constraint names
                         with_retries(
-                            lambda: vio.select("constraint", "table", "key")
+                            lambda: vio.select("constraint", "table", "key", "part")
                             .distinct()
                             .write.mode("append" if partial else "overwrite")
                             .option("partitionOverwriteMode", "dynamic")
@@ -495,7 +495,7 @@ class ValidationRunner:
                 # overwrite discipline: a partial resume replaces only the
                 # constraints it recomputed.
                 with_retries(
-                    lambda: fused.select("constraint", "table", "key")
+                    lambda: fused.select("constraint", "table", "key", "part")
                     .distinct()
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -631,8 +631,64 @@ class ValidationRunner:
             if fused
             else self.run(tables, constraints, resume=True)
         )
+        if self.ctx.collect_violating_keys and seed_rows:
+            # this run's sidecar only carries RECOMPUTED partitions' keys;
+            # seeded partitions' violating keys live in the baseline's
+            # sidecar — without this compose, split_valid after an
+            # incremental run would silently under-quarantine
+            self._compose_seeded_violating_keys(baseline_out_dir, seed_rows)
         save_fingerprints(self.out_dir, now_fps)
         return res, plan
+
+    def _compose_seeded_violating_keys(
+        self, baseline_out_dir: str, seed_rows: list[dict]
+    ) -> None:
+        """Copy the baseline's violating keys for every seeded
+        (constraint, partition) pair into this run's sidecar, so the run's
+        key set is row-complete for the quarantine split. The pair filter
+        is a broadcast semi-join against a driver-built frame (seeded pairs
+        are metadata-scale)."""
+        base_path = os.path.join(baseline_out_dir, "violating_keys")
+        if not os.path.exists(base_path):
+            raise FileNotFoundError(
+                f"no violating_keys sidecar under {baseline_out_dir} — an "
+                "incremental run with collect_violating_keys needs the "
+                "baseline run to have collected keys too (its seeded "
+                "partitions' evidence lives there)"
+            )
+        base = self.spark.read.parquet(base_path)
+        if "part" not in base.columns:
+            raise ValueError(
+                f"{base_path} predates the partition-aware sidecar schema; "
+                "re-run the baseline to enable incremental quarantine"
+            )
+        pairs = sorted(
+            {
+                (r["constraint"], r["part"])
+                for r in seed_rows
+                if r["status"] in ("pass", "fail")
+            },
+            key=lambda t: (t[0], str(t[1])),
+        )
+        if not pairs:
+            return
+        pair_df = self.spark.createDataFrame(
+            pairs, "constraint string, part string"
+        )
+        seeded_keys = base.join(
+            F.broadcast(pair_df),
+            on=[
+                base["constraint"].eqNullSafe(pair_df["constraint"]),
+                base["part"].eqNullSafe(pair_df["part"]),
+            ],
+            how="left_semi",
+        )
+        with_retries(
+            lambda: seeded_keys.select("constraint", "table", "key", "part")
+            .write.mode("append")
+            .partitionBy("constraint")
+            .parquet(os.path.join(self.out_dir, "violating_keys"))
+        )
 
     def verdict_matrix(self) -> DataFrame:
         return self.audit.verdicts(self.ctx.run_id)
