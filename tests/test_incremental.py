@@ -420,3 +420,57 @@ def test_incremental_quarantine_requires_baseline_sidecar(
     )
     with pytest.raises(FileNotFoundError, match="violating_keys"):
         runner.run_incremental(audio_tables, audio_suite(), base_out)
+
+
+def test_config_fingerprint_stable_and_sensitive():
+    from unify_spark.operators.payload import AudioPayloadConstraint
+
+    a = AudioPayloadConstraint(snr_threshold_db=30.0)
+    b = AudioPayloadConstraint(snr_threshold_db=30.0)
+    c = AudioPayloadConstraint(snr_threshold_db=25.0)
+    d = AudioPayloadConstraint(snr_threshold_db=30.0, sample_rate=0.5)
+    assert a.config_fingerprint() == b.config_fingerprint()
+    assert a.config_fingerprint() != c.config_fingerprint()
+    assert a.config_fingerprint() != d.config_fingerprint()
+
+
+def test_retuned_constraint_not_seeded(spark, audio_tables, tmp_path):
+    """Identical data, retuned constraint: the config-fingerprint gate must
+    block seeding (the stale-verdict hole data fingerprints can't see)."""
+    from unify_spark.operators.constraints import RangeConstraint
+    from unify_spark.plans.suite import DUR_MAX_MS
+
+    base_out = str(tmp_path / "cfg_base")
+    runner = ValidationRunner(
+        spark, base_out, ValidationContext(run_id="cb", payload_cap_ms=50)
+    )
+    suite = audio_suite()
+    runner.run(audio_tables, suite, resume=False)
+    save_fingerprints(base_out, collect_fingerprints(audio_tables), constraints=suite)
+
+    retuned = [
+        RangeConstraint("clips", "dur_ms", min_value=0, max_value=DUR_MAX_MS // 2,
+                        min_exclusive=True)
+        if c.name == "range:clips.dur_ms"
+        else c
+        for c in audio_suite()
+    ]
+    plan, _, _ = plan_incremental(spark, audio_tables, retuned, base_out)
+    assert plan.zero_diff  # data identical
+    assert plan.blocked.get("range:clips.dur_ms") == (
+        "constraint config changed since baseline"
+    )
+    assert "range:clips.dur_ms" not in plan.seeded
+    # untouched constraints still seed, globals included (zero diff)
+    assert "range:clips.sr_hz" in plan.seeded
+    assert "uniqueness:clips.clip_id" in plan.seeded
+
+    # and a baseline WITHOUT recorded config fingerprints gates on data only
+    base2 = str(tmp_path / "nofp_base")
+    r2 = ValidationRunner(
+        spark, base2, ValidationContext(run_id="nb", payload_cap_ms=50)
+    )
+    r2.run(audio_tables, audio_suite(), resume=False)
+    save_fingerprints(base2, collect_fingerprints(audio_tables))
+    plan2, _, _ = plan_incremental(spark, audio_tables, retuned, base2)
+    assert "range:clips.dur_ms" not in plan2.blocked  # documented degradation

@@ -114,6 +114,7 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
         save_fingerprints(
             runner.out_dir,
             collect_fingerprints(tables, runner.ctx.part_col),
+            constraints=constraints,
         )
     # always persist the bounded drift histograms (n_parts × n_bins rows per
     # constraint — metadata-sized) so THIS run can be a later run's baseline

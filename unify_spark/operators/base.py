@@ -127,5 +127,27 @@ class Constraint:
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         raise NotImplementedError
 
+    def config_fingerprint(self) -> str:
+        """Stable hash of this constraint's CONFIGURATION — every public
+        attribute that shapes its verdict (thresholds, allowed sets, sample
+        rates, ...). Cross-run incremental seeding compares it against the
+        baseline's recorded fingerprint: identical data + identical config
+        is the precondition for carrying a verdict forward; a retuned
+        constraint must re-run even over unchanged partitions. ``repr`` of
+        plain values (str/int/float/bool/list/dict/None) is deterministic
+        across sessions; subclasses holding non-plain state must override."""
+        import hashlib
+        import json
+
+        cfg = {
+            k: repr(v)
+            for k, v in sorted(vars(self).items())
+            if not k.startswith("_")
+        }
+        cfg["__class__"] = type(self).__name__
+        return hashlib.md5(
+            json.dumps(cfg, sort_keys=True).encode()
+        ).hexdigest()
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{type(self).__name__} {self.name} on {self.table}>"

@@ -63,7 +63,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FINGERPRINT_FILE = "part_fingerprints.json"
+CONSTRAINT_FP_FILE = "constraint_fingerprints.json"
 _WHOLE_TABLE = "__all__"
+
+
+def constraint_fingerprints(constraints: list) -> dict[str, str]:
+    """{constraint name: config fingerprint} — the identical-config half of
+    the seeding precondition (identical data is the partition fingerprint's
+    half). A retuned constraint (changed threshold / allowed set / sample
+    rate) must re-run even over unchanged partitions."""
+    return {c.name: c.config_fingerprint() for c in constraints}
 
 
 def partition_fingerprints(
@@ -132,15 +141,39 @@ def collect_fingerprints(
     return out
 
 
-def save_fingerprints(out_dir: str, fps: dict[str, dict[str, list]]) -> str:
-    """Persist the sidecar this run's successors will diff against."""
+def save_fingerprints(
+    out_dir: str,
+    fps: dict[str, dict[str, list]],
+    constraints: list | None = None,
+) -> str:
+    """Persist the sidecar this run's successors will diff against. When
+    the run's ``constraints`` are given, their config fingerprints are
+    saved alongside so a successor can refuse to seed a retuned
+    constraint."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, FINGERPRINT_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(fps, f, sort_keys=True)
     os.replace(tmp, path)
+    if constraints is not None:
+        cpath = os.path.join(out_dir, CONSTRAINT_FP_FILE)
+        tmp = cpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(constraint_fingerprints(constraints), f, sort_keys=True)
+        os.replace(tmp, cpath)
     return path
+
+
+def load_constraint_fingerprints(out_dir: str) -> dict[str, str]:
+    """The baseline's saved constraint-config fingerprints; {} when the
+    baseline predates them (gating then degrades to data-only — documented
+    backward compatibility, the CLI chain always saves them)."""
+    path = os.path.join(out_dir, CONSTRAINT_FP_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_fingerprints(out_dir: str) -> dict[str, dict[str, list]]:
@@ -249,9 +282,22 @@ def plan_incremental(
 
     plan.zero_diff = all(table_fully_unchanged(t) for t in tables)
     base_done = base_audit.completed_constraints(plan.baseline_run_id)
+    base_cfps = load_constraint_fingerprints(baseline_out_dir)
+
+    def config_changed(c) -> bool:
+        """Identical-config half of the seeding precondition: a constraint
+        whose recorded fingerprint differs was retuned since the baseline —
+        its old verdicts are stale regardless of data. A constraint absent
+        from the record (newly added, or a pre-fingerprint baseline) falls
+        through to the existing completeness gates, which already refuse to
+        seed what the baseline never ran."""
+        return c.name in base_cfps and base_cfps[c.name] != c.config_fingerprint()
 
     seed_rows: list[dict] = []
     for c in constraints:
+        if config_changed(c):
+            plan.blocked[c.name] = "constraint config changed since baseline"
+            continue
         if not getattr(c, "partition_local", False):
             # Global constraints (uniqueness, referential, drift) normally
             # always re-run — a cross-partition duplicate can involve an

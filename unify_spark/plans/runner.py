@@ -637,7 +637,7 @@ class ValidationRunner:
             # sidecar — without this compose, split_valid after an
             # incremental run would silently under-quarantine
             self._compose_seeded_violating_keys(baseline_out_dir, seed_rows)
-        save_fingerprints(self.out_dir, now_fps)
+        save_fingerprints(self.out_dir, now_fps, constraints=constraints)
         return res, plan
 
     def _compose_seeded_violating_keys(
