@@ -275,3 +275,25 @@ def test_boilerplate_lines_matches_python_reference(pspark, docs, min_df):
     for i, lines in enumerate(docs):
         want = "\n".join(l for l in lines if not (l.strip() and l.strip() in hot))
         assert got[i] == want, (i, lines, got[i], want)
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_wilson_interval_properties(k, n):
+    from unify_spark.functions.sampling import wilson_interval
+
+    if k > n:
+        k, n = n, k  # need k <= n
+    lo, hi = wilson_interval(k, n)
+    assert 0.0 <= lo <= hi <= 1.0
+    if n > 0:
+        assert lo <= k / n <= hi  # the band always contains the point estimate
+        # monotone in k at fixed n (both endpoints)
+        if k < n:
+            lo2, hi2 = wilson_interval(k + 1, n)
+            assert lo2 >= lo - 1e-12 and hi2 >= hi - 1e-12
+        # more trials -> never a wider band at the same observed rate
+        lo4, hi4 = wilson_interval(4 * k, 4 * n)
+        assert (hi4 - lo4) <= (hi - lo) + 1e-12

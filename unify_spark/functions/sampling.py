@@ -42,7 +42,11 @@ def wilson_interval(k: int, n: int, z: float = 1.959963984540054) -> tuple[float
     denom = 1.0 + z2 / n
     center = (p + z2 / (2 * n)) / denom
     half = (z / denom) * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5)
-    return (max(0.0, center - half), min(1.0, center + half))
+    # pin the exact boundary cases (float rounding can leave the k=0 lower
+    # bound at ~1e-17, which breaks `lo == 0` expectations downstream)
+    lo = 0.0 if k == 0 else max(0.0, center - half)
+    hi = 1.0 if k == n else min(1.0, center + half)
+    return (lo, hi)
 
 
 def hash_threshold(rate: float) -> str:
