@@ -136,3 +136,18 @@ def test_cli_payload_sample_rate(fixture_dir, tmp_path, capsys):
     est = rep["sampled_estimates"]["payload:clips.bytes"]
     assert est["sample_rate"] == 0.5
     assert est["wilson95_total"][0] <= est["estimated_total_violations"]
+
+
+def test_sample_filter_sits_below_arrow_boundary(audio_tables, manifest):
+    """The md5 keep-filter must evaluate BEFORE rows cross into the
+    mapInPandas decode — non-sampled rows never pay Arrow serialization.
+    In the executed-plan string (printed root-first) the Python decode node
+    must appear ABOVE the md5 filter."""
+    ctx = ValidationContext(run_id="pp", payload_cap_ms=manifest["payload_cap_ms"])
+    c = AudioPayloadConstraint("clips", "reference_decode", sample_rate=0.25)
+    vio = c.violations(audio_tables, ctx)
+    plan = vio._jdf.queryExecution().executedPlan().toString()
+    i_py = plan.find("MapInPandas")
+    i_md5 = plan.find("md5(")
+    assert i_py != -1 and i_md5 != -1
+    assert i_py < i_md5  # decode node above (= after) the sample filter
