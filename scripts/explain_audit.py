@@ -89,6 +89,15 @@ def main() -> None:
             ).violations(tables, ctx),
         ),
         (
+            "audio payload SAMPLED (keep-filter below the Arrow boundary)",
+            "CHECK: the md5 hash keep-filter sits BELOW the MapInPandas "
+            "decode node (non-sampled rows never cross into Arrow/pandas); "
+            "plan shape otherwise identical to the exhaustive payload plan.",
+            AudioPayloadConstraint(
+                "clips", "reference_decode", sample_rate=0.01
+            ).violations(tables, ctx),
+        ),
+        (
             "drift (histogram + windowed KS/PSI, fully lazy)",
             "CHECK: one hash aggregate over (part,bucket); window functions "
             "operate on the tiny densified histogram, not raw rows.",
