@@ -304,6 +304,54 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_suggest_constraints(args) -> int:
+    """Profile the tables and emit a RUNNABLE suite config (the
+    Deequ-ConstraintSuggestion analogue): `suggest-constraints --tables ...
+    --out suite.yaml` then `validate --config suite.yaml`."""
+    from unify_spark.plans.suggest import suggest_constraints, suggestions_to_suite
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-suggest")
+    table_paths = _parse_tables(args.tables)
+    tables = {n: read_table(spark, p) for n, p in table_paths.items()}
+    exclude: dict[str, list[str]] = {}
+    for spec in args.exclude or []:
+        name, _, cols = spec.partition("=")
+        exclude.setdefault(name, []).extend(c for c in cols.split(",") if c)
+    sug = suggest_constraints(
+        tables,
+        part_col=args.part_col,
+        domain_max_cardinality=args.domain_max_cardinality,
+        verify_unique=not args.no_verify_unique,
+        exclude=exclude,
+    )
+    suite = suggestions_to_suite(
+        sug, {n: os.path.abspath(p) for n, p in table_paths.items()},
+        part_col=args.part_col,
+    )
+    if args.out:
+        import yaml
+
+        with open(args.out, "w") as f:
+            yaml.safe_dump(suite, f, sort_keys=False)
+    print(
+        json.dumps(
+            {
+                "n_suggestions": len(sug["constraints"]),
+                "by_type": {
+                    t: sum(1 for s in sug["constraints"] if s["type"] == t)
+                    for t in sorted({s["type"] for s in sug["constraints"]})
+                },
+                "evidence": sug["evidence"],
+                "suite_written": args.out,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_list_runs(args) -> int:
     """list-dbs analogue: summarize runs recorded in an audit table."""
     from pyspark.sql import functions as F
@@ -1021,6 +1069,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--part-col", default="part_date")
     s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser(
+        "suggest-constraints",
+        help="profile tables and emit a runnable suite config "
+             "(range/domain/required/uniqueness/referential suggestions)",
+    )
+    s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
+    s.add_argument("--out", default=None, help="write the suggested suite.yaml here")
+    s.add_argument("--part-col", default="part_date")
+    s.add_argument("--domain-max-cardinality", type=int, default=50)
+    s.add_argument("--exclude", nargs="+", default=None, metavar="table=col,col",
+                   help="columns to skip profiling (e.g. clips=bytes to keep "
+                        "the payload column out of the suggestion scan)")
+    s.add_argument("--no-verify-unique", action="store_true",
+                   help="skip the exact count-distinct confirmation of "
+                        "uniqueness candidates (extreme-scale escape; "
+                        "suggestions are then marked approximate)")
+    s.set_defaults(fn=cmd_suggest_constraints)
 
     s = sub.add_parser("list-runs", help="summarize runs in an audit directory")
     s.add_argument("--out", required=True)
