@@ -352,6 +352,34 @@ def cmd_suggest_constraints(args) -> int:
     return 0
 
 
+def cmd_history_anomalies(args) -> int:
+    """Score the newest run's profile metrics against the trailing runs
+    (median ± k·MAD envelope). Exit 1 when anomalies are found — the
+    alerting contract, same as a failed validation."""
+    from unify_spark.plans.history import history_anomalies
+
+    spark = get_spark("unify-history")
+    anomalies = history_anomalies(
+        spark,
+        args.runs,
+        k=args.k,
+        min_history=args.min_history,
+    )
+    print(
+        json.dumps(
+            {
+                "runs": args.runs,
+                "current": args.runs[-1],
+                "n_anomalies": len(anomalies),
+                "anomalies": anomalies,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 1 if anomalies else 0
+
+
 def cmd_list_runs(args) -> int:
     """list-dbs analogue: summarize runs recorded in an audit table."""
     from pyspark.sql import functions as F
@@ -1087,6 +1115,20 @@ def main(argv: list[str] | None = None) -> int:
                         "uniqueness candidates (extreme-scale escape; "
                         "suggestions are then marked approximate)")
     s.set_defaults(fn=cmd_suggest_constraints)
+
+    s = sub.add_parser(
+        "history-anomalies",
+        help="score the newest run's profile metrics against the trailing "
+             "runs (median +/- k*MAD); exit 1 on anomalies",
+    )
+    s.add_argument("--runs", nargs="+", required=True, metavar="OUT_DIR",
+                   help="run out dirs oldest-first; the LAST is scored "
+                        "against the rest (each needs a profile sidecar)")
+    s.add_argument("--k", type=float, default=4.0,
+                   help="robust z-score threshold (default 4)")
+    s.add_argument("--min-history", type=int, default=3,
+                   help="minimum prior observations per metric (default 3)")
+    s.set_defaults(fn=cmd_history_anomalies)
 
     s = sub.add_parser("list-runs", help="summarize runs in an audit directory")
     s.add_argument("--out", required=True)
