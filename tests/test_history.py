@@ -1,11 +1,16 @@
 """Metric-history anomaly detection (plans/history.py): median ± k·MAD
-over the trailing runs' profile sidecars."""
+over the trailing runs' profile sidecars, and the cross-run
+MetricsRepository / verdict-matrix-diff layer on top."""
 
 import os
 
 import pytest
 
-from unify_spark.plans.history import history_anomalies
+from unify_spark.plans.history import (
+    MetricsRepository,
+    history_anomalies,
+    repo_anomalies,
+)
 
 _SCHEMA = "table string, part string, column string, stat string, value string"
 
@@ -112,3 +117,185 @@ def test_cli_history_chain(spark, fixture_dir, tmp_path, capsys):
     rc_ok = cli.main(["history-anomalies", "--runs", *dirs, dirs[-1]])
     rep_ok = _json.loads(capsys.readouterr().out)
     assert rc_ok == 0 and rep_ok["n_anomalies"] == 0
+
+
+def test_metrics_repo_roundtrip_and_anomalies(spark, tmp_path):
+    """One append-mode table spanning runs: runs() orders by append time,
+    repo_anomalies reproduces the run-dir envelope from a single scan, and
+    run_id / max_history select the scored point and window."""
+    repo = MetricsRepository(spark, str(tmp_path / "repo"))
+    assert repo.runs() == [] and repo.read().count() == 0
+
+    key = ("clips", "dur_ms", "max")
+    noise = [29_990.0, 30_010.0, 29_995.0, 30_005.0, 30_000.0]
+    for i, v in enumerate(noise):
+        repo.append([("clips", "*", "dur_ms", "max", str(v))], f"r{i}")
+    repo.append([("clips", "*", "dur_ms", "max", "45000.0")], "r5")
+    assert repo.runs() == [f"r{i}" for i in range(6)]
+
+    anomalies = repo_anomalies(repo)  # default: newest run
+    assert len(anomalies) == 1
+    a = anomalies[0]
+    assert (a["table"], a["column"], a["stat"]) == key
+    assert a["value"] == 45_000.0 and a["z"] > 4 and a["history_n"] == 5
+
+    # scoring an in-envelope earlier run against ITS priors: clean
+    assert repo_anomalies(repo, run_id="r4") == []
+    # a trailing window too small for min_history: nothing has a basis
+    assert repo_anomalies(repo, max_history=2, min_history=3) == []
+
+    with pytest.raises(ValueError):
+        repo_anomalies(repo, run_id="r0")  # no prior history
+    with pytest.raises(ValueError):
+        repo_anomalies(repo, run_id="nope")
+    with pytest.raises(ValueError):
+        repo_anomalies(MetricsRepository(spark, str(tmp_path / "empty")))
+
+    # per-partition and non-scalar rows are stored but excluded from the
+    # global envelope input
+    repo2 = MetricsRepository(spark, str(tmp_path / "repo2"))
+    repo2.append(
+        [
+            ("clips", "*", "dur_ms", "quantiles", "[1.0,2.0]"),
+            ("clips", "2024-01-01", "dur_ms", "max", "99.0"),
+            ("clips", "*", "dur_ms", "max", "1.0"),
+        ],
+        "rA",
+    )
+    assert repo2.global_stats() == {"rA": {key: 1.0}}
+    assert repo2.read().count() == 3
+
+
+def test_profile_appends_to_metrics_repo(spark, fixture_dir, tmp_path, capsys):
+    """runner.profile(metrics_repo=...) tags this run's stat rows into the
+    shared repo, and the CLI scores it via --repo (single-table history)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from unify_spark import cli
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.plans import ValidationRunner, load_audio_tables
+
+    repo_path = str(tmp_path / "repo")
+    tables = load_audio_tables(spark, fixture_dir)
+    for i in range(3):
+        ValidationRunner(
+            spark, str(tmp_path / f"h{i}"),
+            ValidationContext(run_id=f"h{i}", payload_cap_ms=50),
+        ).profile(tables, sketches=False, metrics_repo=repo_path)
+    mutated = {
+        **tables,
+        "clips": tables["clips"].withColumn(
+            "codec",
+            F.when(F.rand(7) < 0.5, F.lit(None)).otherwise(F.col("codec")),
+        ),
+    }
+    ValidationRunner(
+        spark, str(tmp_path / "h3"), ValidationContext(run_id="h3", payload_cap_ms=50)
+    ).profile(mutated, sketches=False, metrics_repo=repo_path)
+
+    repo = MetricsRepository(spark, repo_path)
+    assert repo.runs() == ["h0", "h1", "h2", "h3"]
+    # the per-run sidecar still exists alongside the repo rows
+    assert os.path.exists(os.path.join(str(tmp_path / "h0"), "profile"))
+
+    rc = cli.main(["history-anomalies", "--repo", repo_path])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rc == 1 and rep["current"] == "h3"
+    flagged = {(a["table"], a["column"], a["stat"]) for a in rep["anomalies"]}
+    assert ("clips", "codec", "null_rate") in flagged
+
+    rc_ok = cli.main(["history-anomalies", "--repo", repo_path, "--run-id", "h2"])
+    rep_ok = _json.loads(capsys.readouterr().out)
+    assert rc_ok == 0 and rep_ok["n_anomalies"] == 0
+
+    # exactly one history source must be given
+    assert cli.main(["history-anomalies", "--repo", repo_path, "--runs", "x"]) == 2
+    assert cli.main(["history-anomalies"]) == 2
+
+
+def test_verdict_diff_classes_and_cli(spark, tmp_path, capsys):
+    """Cell-level verdict diff: every change class, no records for
+    unchanged cells or new passing cells, and the CLI gate exits 1 only
+    when some cell got worse."""
+    import json as _json
+
+    from unify_spark import cli
+    from unify_spark.plans.audit import AuditLog, verdict_diff
+
+    audit = AuditLog(spark, str(tmp_path / "out" / "audit"))
+
+    def rows(run, cells):
+        return [
+            {
+                "run_id": run,
+                "constraint": c,
+                "part": p,
+                "status": s,
+                "violation_count": n,
+            }
+            for c, p, s, n in cells
+        ]
+
+    audit.append(
+        rows(
+            "A",
+            [
+                ("c1", "p1", "pass", 0),
+                ("c1", "p2", "pass", 0),
+                ("c2", "p1", "fail", 5),
+                ("c2", "p2", "fail", 3),
+                ("c2", "p3", "fail", 9),
+                ("c6", "p1", "fail", 2),
+                ("c4", "p1", "pass", 0),
+            ],
+        )
+    )
+    audit.append(
+        rows(
+            "B",
+            [
+                ("c1", "p1", "fail", 2),   # regressed
+                ("c1", "p2", "pass", 0),   # unchanged pass -> no record
+                ("c2", "p1", "pass", 0),   # fixed
+                ("c2", "p2", "fail", 7),   # still_fail, worse
+                ("c2", "p3", "fail", 4),   # still_fail, improving
+                ("c6", "p1", "fail", 2),   # unchanged count -> no record
+                ("c3", "p2", "fail", 1),   # appeared failing
+                ("c5", "p1", "pass", 0),   # appeared passing -> no record
+            ],
+        )
+    )
+
+    diff = verdict_diff(audit, "A", "B")
+    by = {(d["constraint"], d["part"]): d["change"] for d in diff}
+    assert by == {
+        ("c1", "p1"): "regressed",
+        ("c2", "p1"): "fixed",
+        ("c2", "p2"): "still_fail",
+        ("c2", "p3"): "still_fail",
+        ("c3", "p2"): "appeared",
+        ("c4", "p1"): "disappeared",
+    }
+    reg = next(d for d in diff if d["change"] == "regressed")
+    assert (reg["violations_a"], reg["violations_b"]) == (0, 2)
+
+    rc = cli.main(
+        ["verdict-diff", "--out", str(tmp_path / "out"), "--from-run", "A",
+         "--to-run", "B"]
+    )
+    rep = _json.loads(capsys.readouterr().out)
+    assert rc == 1 and rep["n_worse"] == 3  # regressed + appeared + worse still_fail
+    assert rep["by_change"] == {
+        "appeared": 1, "disappeared": 1, "fixed": 1, "regressed": 1,
+        "still_fail": 2,
+    }
+
+    # B -> B: nothing changed, gate passes
+    rc0 = cli.main(
+        ["verdict-diff", "--out", str(tmp_path / "out"), "--from-run", "B",
+         "--to-run", "B"]
+    )
+    rep0 = _json.loads(capsys.readouterr().out)
+    assert rc0 == 0 and rep0["n_changes"] == 0

@@ -220,3 +220,55 @@ class AuditLog:
             )
             .select("constraint", "part", "status", "violation_count")
         )
+
+
+def verdict_diff(audit: AuditLog, run_a: str, run_b: str) -> list[dict]:
+    """Cell-level diff of two runs' per-(constraint, partition) verdict
+    matrices — the release-gate question "which partitions did THIS load
+    make worse". Each record carries the cell key, both statuses, both
+    violation counts, and a change class:
+
+    - ``regressed``    pass → fail (the gate's exit-1 class)
+    - ``fixed``        fail → pass
+    - ``still_fail``   fail → fail, with the violation-count delta (a
+      growing count on a still-failing cell is a quiet regression too)
+    - ``appeared``     cell only in run_b AND failing (new partition or
+      newly-run constraint arriving broken; a passing new cell is not a
+      change worth a record)
+    - ``disappeared``  cell only in run_a (partition dropped or constraint
+      removed — surfaced for lineage, never an exit-1)
+
+    Unchanged passing cells and unchanged still-failing counts are omitted.
+    Driver-side over :meth:`AuditLog.part_results` (metadata-scale)."""
+    a, b = audit.part_results(run_a), audit.part_results(run_b)
+    cells_a = {(c, p): v for c, parts in a.items() for p, v in parts.items()}
+    cells_b = {(c, p): v for c, parts in b.items() for p, v in parts.items()}
+    out: list[dict] = []
+    for key in sorted(set(cells_a) | set(cells_b), key=lambda k: (k[0], k[1] or "")):
+        va, vb = cells_a.get(key), cells_b.get(key)
+        if va is None:
+            if vb[0] != "fail":
+                continue
+            change = "appeared"
+        elif vb is None:
+            change = "disappeared"
+        elif va[0] == "pass" and vb[0] == "fail":
+            change = "regressed"
+        elif va[0] == "fail" and vb[0] == "pass":
+            change = "fixed"
+        elif va[0] == "fail" and vb[0] == "fail" and va[1] != vb[1]:
+            change = "still_fail"
+        else:
+            continue
+        out.append(
+            {
+                "constraint": key[0],
+                "part": key[1],
+                "change": change,
+                "status_a": va[0] if va else None,
+                "status_b": vb[0] if vb else None,
+                "violations_a": va[1] if va else None,
+                "violations_b": vb[1] if vb else None,
+            }
+        )
+    return out
