@@ -458,3 +458,83 @@ def test_fuzzy_equality_config_factory(spark):
     )
     assert c.name == "fuzzy_equality:clips.transcript~transcript_map.transcript"
     assert c.max_norm_edit == 0.2
+
+
+def test_freshness_constraint(spark, audio_tables):
+    """Table-grain recency over the fixture's part_date (2025-01-01..08):
+    a reference inside the window passes, a later reference goes stale,
+    and an empty/all-null table is the stalest state, not a pass."""
+    from unify_spark.operators.constraints import FreshnessConstraint
+
+    ctx = ValidationContext(run_id="f")
+    fresh = FreshnessConstraint("clips", "part_date", max_age_hours=24, ref="2025-01-08")
+    assert fresh.violations(audio_tables, ctx).count() == 0
+
+    stale = FreshnessConstraint("clips", "part_date", max_age_hours=48, ref="2025-02-01")
+    rows = stale.violations(audio_tables, ctx).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "*" and r["observed"].startswith("2025-01-08")
+    assert r["constraint"] == "freshness:clips.part_date"
+
+    empty = {"clips": audio_tables["clips"].filter(F.lit(False))}
+    (er,) = FreshnessConstraint(
+        "clips", "part_date", max_age_hours=1, ref="2025-01-01"
+    ).violations(empty, ctx).collect()
+    assert er["observed"] == "no non-null timestamps"
+
+
+def test_partition_completeness_constraint(spark, audio_tables):
+    """Missing and underfilled partitions are violations keyed by the
+    partition value; both expectation sources agree; config builds it."""
+    from unify_spark.operators.constraints import PartitionCompletenessConstraint
+    from unify_spark.plans.config import _build_constraint
+
+    ctx = ValidationContext(run_id="c")
+    full = PartitionCompletenessConstraint(
+        "clips", expected_range=("2025-01-01", "2025-01-08")
+    )
+    assert full.partition_grain
+    assert full.violations(audio_tables, ctx).count() == 0
+
+    over = PartitionCompletenessConstraint(
+        "clips", expected_range=("2025-01-01", "2025-01-10")
+    )
+    rows = over.violations(audio_tables, ctx).collect()
+    assert sorted(r["key"] for r in rows) == ["2025-01-09", "2025-01-10"]
+    assert all(r["observed"] == "rows=0" and r["part"] == r["key"] for r in rows)
+
+    explicit = PartitionCompletenessConstraint(
+        "clips", expected_parts=["2025-01-03", "2025-01-09"], min_rows=1
+    )
+    assert [r["key"] for r in explicit.violations(audio_tables, ctx).collect()] == [
+        "2025-01-09"
+    ]
+
+    underfilled = PartitionCompletenessConstraint(
+        "clips", expected_parts=["2025-01-03"], min_rows=10**9
+    )
+    (u,) = underfilled.violations(audio_tables, ctx).collect()
+    assert u["key"] == "2025-01-03" and u["observed"].startswith("rows=") and u["observed"] != "rows=0"
+
+    with pytest.raises(ValueError):
+        PartitionCompletenessConstraint("clips")
+    with pytest.raises(ValueError):
+        PartitionCompletenessConstraint(
+            "clips", expected_parts=["x"], expected_range=("a", "b")
+        )
+
+    built = _build_constraint(
+        {
+            "type": "partition_completeness",
+            "table": "clips",
+            "expected_range": ["2025-01-01", "2025-01-08"],
+            "min_rows": 2,
+        }
+    )
+    assert built.expected_range == ("2025-01-01", "2025-01-08") and built.min_rows == 2
+    fb = _build_constraint(
+        {"type": "freshness", "table": "clips", "ts_col": "part_date",
+         "max_age_hours": 24, "ref": "2025-01-08"}
+    )
+    assert fb.name == "freshness:clips.part_date"

@@ -11,8 +11,10 @@ from unify_spark.operators.constraints import (  # noqa: F401
     DomainConstraint,
     EnumMappingConstraint,
     EqualityAcrossTablesConstraint,
+    FreshnessConstraint,
     FuzzyEqualityConstraint,
     LengthConstraint,
+    PartitionCompletenessConstraint,
     RangeConstraint,
     ReferentialIntegrityConstraint,
     RegexConstraint,
@@ -24,3 +26,7 @@ from unify_spark.operators.constraints import (  # noqa: F401
 from unify_spark.operators.drift import DriftConstraint  # noqa: F401
 from unify_spark.operators.payload import AudioPayloadConstraint  # noqa: F401
 from unify_spark.operators.profile import profile_table  # noqa: F401
+from unify_spark.operators.reconcile import (  # noqa: F401
+    reconcile_keys,
+    reconcile_tables,
+)

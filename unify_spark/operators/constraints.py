@@ -1042,3 +1042,149 @@ class VectorConstraint(Constraint):
     def row_predicates(self, ctx):
         reason = self._reason()
         return [(reason.isNotNull(), self.column, reason, self._expected())]
+
+
+class FreshnessConstraint(Constraint):
+    """Table-grain recency: the newest value of ``ts_col`` must be within
+    ``max_age_hours`` of a reference instant — the "is the data stale"
+    check every scheduled pipeline needs (dbt source-freshness analogue).
+
+    ``ref``: an ISO timestamp/date string pinning "now" — REQUIRED for a
+    deterministic verdict in tests and resumable runs (a retried stage must
+    not flip because the wall clock moved); ``ref=None`` uses the cluster's
+    ``current_timestamp()`` and is documented as nondeterministic.
+
+    Scale shape: ONE max() aggregation (map-side partials, no shuffle of
+    data rows — partial max per task, one combine); on date-partitioned
+    Iceberg/parquet the same answer is available from partition values
+    alone, so ``ts_col`` may be the partition column itself.
+    """
+
+    def __init__(
+        self,
+        table: str,
+        ts_col: str,
+        max_age_hours: float,
+        ref: str | None = None,
+    ):
+        self.table = table
+        self.ts_col = ts_col
+        self.max_age_hours = float(max_age_hours)
+        self.ref = ref
+        self.name = f"freshness:{table}.{ts_col}"
+        self.column = ts_col
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        ref = (
+            F.to_timestamp(F.lit(self.ref)) if self.ref is not None
+            else F.current_timestamp()
+        )
+        threshold = ref - F.expr(
+            f"INTERVAL {int(self.max_age_hours * 3600)} SECOND"
+        )
+        agg = df.agg(
+            F.max(F.to_timestamp(F.col(self.ts_col))).alias("newest"),
+        ).select(
+            "newest",
+            threshold.alias("threshold"),
+        )
+        # stale when newest < threshold; an empty table / all-null ts is the
+        # stalest possible state, not a pass
+        vio = agg.filter(
+            F.col("newest").isNull() | (F.col("newest") < F.col("threshold"))
+        )
+        return make_violations(
+            vio,
+            constraint=self.name,
+            table=self.table,
+            key=F.lit("*"),
+            column=self.ts_col,
+            observed=F.coalesce(
+                F.col("newest").cast("string"), F.lit("no non-null timestamps")
+            ),
+            expected=f">= ref - {self.max_age_hours}h",
+        )
+
+
+class PartitionCompletenessConstraint(Constraint):
+    """Partition availability: every EXPECTED partition must be present
+    with at least ``min_rows`` rows — catches the silently-missing daily
+    load that row-grain constraints can never see (they only look at rows
+    that exist).
+
+    Expectation source (exactly one):
+    - ``expected_parts``: an explicit partition-value list, or
+    - ``expected_range=(start, end)``: every daily date in the inclusive
+      range, generated Spark-side via ``sequence()`` (no driver loop).
+
+    Scale shape: one key-only groupBy(part).count() over the table (map-side
+    combine; at 10^12 rows this shuffles n_parts tiny rows) left-joined from
+    the broadcast-tiny expected list. partition_grain — one violation row
+    per missing/underfilled partition, key = part.
+    """
+
+    partition_grain = True
+
+    def __init__(
+        self,
+        table: str,
+        expected_parts: list[str] | None = None,
+        expected_range: tuple[str, str] | None = None,
+        min_rows: int = 1,
+        part_col: str | None = None,
+    ):
+        if (expected_parts is None) == (expected_range is None):
+            raise ValueError("pass exactly one of expected_parts / expected_range")
+        self.table = table
+        self.expected_parts = list(expected_parts) if expected_parts else None
+        self.expected_range = tuple(expected_range) if expected_range else None
+        self.min_rows = int(min_rows)
+        self.part_col = part_col  # None: ctx.part_col at run time
+        self.name = f"completeness:{table}.partitions"
+
+    def _expected_df(self, spark) -> DataFrame:
+        if self.expected_parts is not None:
+            return spark.createDataFrame(
+                [(p,) for p in self.expected_parts], "part string"
+            )
+        lo, hi = self.expected_range
+        return (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.to_date(F.lit(lo)),
+                        F.to_date(F.lit(hi)),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("d")
+            )
+            .select(F.col("d").cast("string").alias("part"))
+        )
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        df = tables[self.table]
+        part_col = self.part_col or ctx.part_col
+        actual = (
+            df.groupBy(F.col(part_col).cast("string").alias("part"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        expected = self._expected_df(df.sparkSession)
+        vio = (
+            F.broadcast(expected)
+            .join(actual, on="part", how="left")
+            .filter(F.coalesce(F.col("n"), F.lit(0)) < self.min_rows)
+        )
+        return make_violations(
+            vio,
+            constraint=self.name,
+            table=self.table,
+            key="part",
+            column=part_col,
+            observed=F.concat(
+                F.lit("rows="), F.coalesce(F.col("n"), F.lit(0)).cast("string")
+            ),
+            expected=f">= {self.min_rows} rows",
+            part="part",
+        )
