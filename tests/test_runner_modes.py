@@ -289,3 +289,97 @@ def test_cli_quarantine_to(fixture_dir, tmp_path, capsys):
     assert qr["clean_rows"] + qr["quarantined_rows"] == total
     assert _os.path.exists(_os.path.join(q, "clean"))
     assert _os.path.exists(_os.path.join(q, "quarantined"))
+
+
+def test_severity_and_tolerance(spark, audio_tables, tmp_path):
+    """Deequ-assertion analogue: warn-severity violations never fail the
+    run, error-severity counts within max_violations/max_violation_rate are
+    tolerated, one over blocks — and with nothing declared the legacy
+    zero-tolerance rule is reproduced exactly. Per-partition verdicts stay
+    EXACT either way (lineage is never softened)."""
+    from unify_spark.operators.constraints import RangeConstraint
+
+    def range_c(**attrs):
+        c = RangeConstraint("clips", "dur_ms", min_value=0, max_value=30000,
+                            min_exclusive=True)
+        for k, v in attrs.items():
+            setattr(c, k, v)
+        return c
+
+    ctx = ValidationContext(run_id="sv0", payload_cap_ms=50)
+    base = ValidationRunner(spark, str(tmp_path / "0"), ctx).run(
+        audio_tables, [range_c()], resume=False
+    )
+    n = base.violation_counts["range:clips.dur_ms"]
+    rows = base.rows_checked["range:clips.dur_ms"]
+    assert n > 0 and rows > n
+    # legacy rule: no severity/tolerance declared -> any violation blocks
+    assert not base.passed and base.blocking == {"range:clips.dur_ms": n}
+    assert base.tolerated == {} and base.warn_counts == {}
+
+    # absolute tolerance: exactly-n passes, n-1 blocks
+    ok = ValidationRunner(
+        spark, str(tmp_path / "1"), ValidationContext(run_id="sv1", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(max_violations=n)], resume=False)
+    assert ok.passed and ok.tolerated == {"range:clips.dur_ms": n} and not ok.blocking
+    tight = ValidationRunner(
+        spark, str(tmp_path / "2"), ValidationContext(run_id="sv2", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(max_violations=n - 1)], resume=False)
+    assert not tight.passed and tight.blocking == {"range:clips.dur_ms": n}
+
+    # rate tolerance: floor(rate*rows) >= n passes, below blocks
+    rate_ok = ValidationRunner(
+        spark, str(tmp_path / "3"), ValidationContext(run_id="sv3", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(max_violation_rate=n / rows)], resume=False)
+    assert rate_ok.passed
+    rate_bad = ValidationRunner(
+        spark, str(tmp_path / "4"), ValidationContext(run_id="sv4", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(max_violation_rate=(n - 1) / rows)], resume=False)
+    assert not rate_bad.passed
+
+    # warn severity: recorded, never blocking; partition verdicts stay exact
+    warn = ValidationRunner(
+        spark, str(tmp_path / "5"), ValidationContext(run_id="sv5", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(severity="warn")], resume=False)
+    assert warn.passed and warn.warn_counts == {"range:clips.dur_ms": n}
+    assert any(v is False for v in warn.verdicts.values())
+
+    # fused path classifies identically
+    fused = ValidationRunner(
+        spark, str(tmp_path / "6"), ValidationContext(run_id="sv6", payload_cap_ms=50)
+    ).run_fused(audio_tables, [range_c(max_violations=n)], resume=False)
+    assert fused.passed and fused.tolerated == {"range:clips.dur_ms": n}
+
+    # resumed run re-applies the CURRENT constraint's severity over
+    # hydrated counts
+    resumed = ValidationRunner(
+        spark, str(tmp_path / "5"), ValidationContext(run_id="sv5", payload_cap_ms=50)
+    ).run(audio_tables, [range_c(severity="warn")], resume=True)
+    assert resumed.skipped and resumed.passed and resumed.warn_counts
+
+
+def test_severity_config_keys(tmp_path):
+    """severity/max_violation_rate/max_violations are generic config keys on
+    any constraint spec; invalid values are rejected."""
+    import pytest as _pytest
+
+    from unify_spark.plans.config import _build_constraint
+
+    c = _build_constraint(
+        {"type": "range", "table": "clips", "column": "dur_ms", "min": 0,
+         "max": 30000, "severity": "warn", "max_violation_rate": 0.001,
+         "max_violations": 5}
+    )
+    assert c.severity == "warn" and c.max_violation_rate == 0.001 and c.max_violations == 5
+    assert c.allowed_violations(100_000) == 100  # rate dominates
+    assert c.allowed_violations(100) == 5        # absolute floor dominates
+
+    d = _build_constraint({"type": "range", "table": "clips", "column": "dur_ms", "max": 1})
+    assert d.severity == "error" and d.allowed_violations(10**12) == 0
+
+    with _pytest.raises(ValueError):
+        _build_constraint({"type": "range", "table": "t", "column": "c",
+                           "max": 1, "severity": "fatal"})
+    with _pytest.raises(ValueError):
+        _build_constraint({"type": "range", "table": "t", "column": "c",
+                           "max": 1, "max_violation_rate": 1.5})

@@ -91,7 +91,7 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
     optionally score cross-run drift against a prior run's sidecar
     (``--baseline``), print the JSON report, map to the exit code."""
     if args.profile:
-        runner.profile(tables)
+        runner.profile(tables, metrics_repo=getattr(args, "metrics_repo", None))
     report = {
         "run_id": res.run_id,
         "passed": res.passed,
@@ -101,6 +101,12 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
         "stage_errors": res.errors,
         "wall_sec": round(res.wall_sec, 3),
     }
+    # severity interpretation (only when some count was downgraded — the
+    # default all-error zero-tolerance report stays byte-identical)
+    if res.warn_counts:
+        report["warnings"] = res.warn_counts
+    if res.tolerated:
+        report["tolerated"] = res.tolerated
     if inc_plan is not None:
         report["incremental"] = inc_plan.summary()
     elif not getattr(args, "no_fingerprints", False):
@@ -296,10 +302,20 @@ def cmd_profile(args) -> int:
     from unify_spark.sources import read_table
 
     spark = get_spark("unify-profile")
+    repo = None
+    if args.metrics_repo:
+        from unify_spark.plans.history import MetricsRepository
+
+        repo = MetricsRepository(spark, args.metrics_repo)
     for name, path in _parse_tables(args.tables).items():
         df = read_table(spark, path)
         stats = profile_table(df, name, part_col=args.part_col if args.part_col in df.columns else None)
+        if repo is not None:
+            stats = stats.persist()
+            repo.append(stats, args.run_id)
         stats.coalesce(1).write.mode("append").parquet(args.out)
+        if repo is not None:
+            stats.unpersist()
     print(f"profiles written to {args.out}")
     return 0
 
@@ -355,21 +371,42 @@ def cmd_suggest_constraints(args) -> int:
 def cmd_history_anomalies(args) -> int:
     """Score the newest run's profile metrics against the trailing runs
     (median ± k·MAD envelope). Exit 1 when anomalies are found — the
-    alerting contract, same as a failed validation."""
-    from unify_spark.plans.history import history_anomalies
-
-    spark = get_spark("unify-history")
-    anomalies = history_anomalies(
-        spark,
-        args.runs,
-        k=args.k,
-        min_history=args.min_history,
+    alerting contract, same as a failed validation. History source is
+    either explicit run out-dirs (--runs, oldest first) or one cross-run
+    metrics repository (--repo, appended by profile/validate
+    --metrics-repo)."""
+    from unify_spark.plans.history import (
+        MetricsRepository,
+        history_anomalies,
+        repo_anomalies,
     )
+
+    if bool(args.runs) == bool(args.repo):
+        print("history-anomalies: pass exactly one of --runs or --repo", file=sys.stderr)
+        return 2
+    spark = get_spark("unify-history")
+    if args.repo:
+        repo = MetricsRepository(spark, args.repo)
+        anomalies = repo_anomalies(
+            repo,
+            run_id=args.run_id,
+            k=args.k,
+            min_history=args.min_history,
+            max_history=args.max_history,
+        )
+        src = {"repo": args.repo, "current": args.run_id or repo.runs()[-1]}
+    else:
+        anomalies = history_anomalies(
+            spark,
+            args.runs,
+            k=args.k,
+            min_history=args.min_history,
+        )
+        src = {"runs": args.runs, "current": args.runs[-1]}
     print(
         json.dumps(
             {
-                "runs": args.runs,
-                "current": args.runs[-1],
+                **src,
                 "n_anomalies": len(anomalies),
                 "anomalies": anomalies,
             },
@@ -378,6 +415,75 @@ def cmd_history_anomalies(args) -> int:
         )
     )
     return 1 if anomalies else 0
+
+
+def cmd_reconcile(args) -> int:
+    """Row-level diff of two table versions (migration validation): classify
+    every key as only-left / only-right / differing / matching via slim
+    (key, fingerprint) projections, drill into per-column evidence for the
+    differing keys only. Exit 1 unless the tables reconcile exactly."""
+    from unify_spark.operators.reconcile import reconcile_tables
+    from unify_spark.sources import read_table
+
+    spark = get_spark("unify-reconcile")
+    left = read_table(spark, args.left)
+    right = read_table(spark, args.right)
+    report, evidence = reconcile_tables(
+        left,
+        right,
+        key_cols=args.keys,
+        compare_cols=args.compare,
+        float_digits=args.float_digits,
+        details=not args.no_details,
+        detail_cap=args.detail_cap,
+        table=args.table,
+    )
+    out = report.summary()
+    if evidence is not None and args.out:
+        evidence.coalesce(1).write.mode("overwrite").parquet(args.out)
+        out["evidence"] = args.out
+    print(json.dumps(out, indent=2, sort_keys=True))
+    return 0 if report.identical else 1
+
+
+def cmd_verdict_diff(args) -> int:
+    """Diff two runs' per-(constraint, partition) verdict matrices from the
+    shared audit table — the release-gate "which partitions did this load
+    make worse". Exit 1 when any cell regressed (pass→fail), appeared
+    failing, or still fails with MORE violations; fixed/disappeared cells
+    are informational."""
+    from unify_spark.plans.audit import AuditLog, verdict_diff
+
+    spark = get_spark("unify-verdict-diff")
+    audit = AuditLog(spark, os.path.join(args.out, "audit"))
+    diff = verdict_diff(audit, args.from_run, args.to_run)
+    worse = [
+        d
+        for d in diff
+        if d["change"] in ("regressed", "appeared")
+        or (
+            d["change"] == "still_fail"
+            and (d["violations_b"] or 0) > (d["violations_a"] or 0)
+        )
+    ]
+    print(
+        json.dumps(
+            {
+                "from_run": args.from_run,
+                "to_run": args.to_run,
+                "n_changes": len(diff),
+                "n_worse": len(worse),
+                "by_change": {
+                    c: sum(1 for d in diff if d["change"] == c)
+                    for c in sorted({d["change"] for d in diff})
+                },
+                "changes": diff,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 1 if worse else 0
 
 
 def cmd_list_runs(args) -> int:
@@ -1051,6 +1157,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="single-job fused plan (max throughput; stage-grain resume off)")
     s.add_argument("--profile", action="store_true",
                    help="also persist column statistics to <out>/profile")
+    s.add_argument("--metrics-repo", dest="metrics_repo", default=None,
+                   metavar="PATH",
+                   help="with --profile: also append this run's stat rows to "
+                        "a cross-run metrics repository (parquet dir or "
+                        "Iceberg table) scored by history-anomalies --repo")
     s.add_argument("--baseline", default=None, metavar="DIR",
                    help="a PRIOR run's --out directory: score this run's "
                         "partitions against its persisted drift-histogram "
@@ -1096,6 +1207,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", nargs="+", required=True, metavar="name=path")
     s.add_argument("--out", required=True)
     s.add_argument("--part-col", default="part_date")
+    s.add_argument("--metrics-repo", dest="metrics_repo", default=None,
+                   metavar="PATH",
+                   help="also append the stat rows, tagged --run-id, to a "
+                        "cross-run metrics repository (parquet dir or "
+                        "Iceberg table)")
+    s.add_argument("--run-id", default="run-0",
+                   help="run tag for --metrics-repo rows (default run-0)")
     s.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser(
@@ -1121,14 +1239,58 @@ def main(argv: list[str] | None = None) -> int:
         help="score the newest run's profile metrics against the trailing "
              "runs (median +/- k*MAD); exit 1 on anomalies",
     )
-    s.add_argument("--runs", nargs="+", required=True, metavar="OUT_DIR",
+    s.add_argument("--runs", nargs="+", default=None, metavar="OUT_DIR",
                    help="run out dirs oldest-first; the LAST is scored "
                         "against the rest (each needs a profile sidecar)")
+    s.add_argument("--repo", default=None, metavar="PATH",
+                   help="cross-run metrics repository (appended by "
+                        "profile/validate --metrics-repo) as the history "
+                        "source instead of --runs")
+    s.add_argument("--run-id", default=None,
+                   help="with --repo: run to score (default: newest)")
+    s.add_argument("--max-history", type=int, default=None,
+                   help="with --repo: trailing-window size (default: all "
+                        "earlier runs)")
     s.add_argument("--k", type=float, default=4.0,
                    help="robust z-score threshold (default 4)")
     s.add_argument("--min-history", type=int, default=3,
                    help="minimum prior observations per metric (default 3)")
     s.set_defaults(fn=cmd_history_anomalies)
+
+    s = sub.add_parser(
+        "reconcile",
+        help="row-level diff of two table versions; exit 1 unless identical",
+    )
+    s.add_argument("--left", required=True, help="baseline table path")
+    s.add_argument("--right", required=True, help="candidate table path")
+    s.add_argument("--keys", nargs="+", required=True, metavar="COL",
+                   help="row-identity columns")
+    s.add_argument("--compare", nargs="+", default=None, metavar="COL",
+                   help="columns to compare (default: all shared non-key)")
+    s.add_argument("--float-digits", type=int, default=None,
+                   help="round float/double columns to N digits before "
+                        "comparing (default: exact bit-form)")
+    s.add_argument("--no-details", action="store_true",
+                   help="skip the per-column drill-down over differing keys")
+    s.add_argument("--detail-cap", type=int, default=1000,
+                   help="max evidence rows per class (default 1000)")
+    s.add_argument("--table", default="table",
+                   help="table name used in evidence rows")
+    s.add_argument("--out", default=None,
+                   help="write evidence rows (VIOLATION_SCHEMA) to this "
+                        "parquet path")
+    s.set_defaults(fn=cmd_reconcile)
+
+    s = sub.add_parser(
+        "verdict-diff",
+        help="diff two runs' per-(constraint, partition) verdict matrices; "
+             "exit 1 when any cell got worse",
+    )
+    s.add_argument("--out", required=True,
+                   help="the runs' shared --out directory (audit table)")
+    s.add_argument("--from-run", dest="from_run", required=True)
+    s.add_argument("--to-run", dest="to_run", required=True)
+    s.set_defaults(fn=cmd_verdict_diff)
 
     s = sub.add_parser("list-runs", help="summarize runs in an audit directory")
     s.add_argument("--out", required=True)

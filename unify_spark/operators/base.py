@@ -123,6 +123,29 @@ class Constraint:
     # the seeding gate conservatively requires every other table in the run
     # to be unchanged; [] = reads nothing but its own table's rows.
     aux_tables: list[str] | None = None
+    # Verdict interpretation (Deequ assertion-level analogue). Violations are
+    # ALWAYS computed, persisted, and recorded per partition exactly as found
+    # — severity/tolerance only change how the RUN-level verdict reads them:
+    #   severity="warn"  → this constraint's violations never fail the run
+    #                      (reported under warn_counts);
+    #   max_violations / max_violation_rate → an error-severity constraint
+    #     passes the run while its TOTAL count stays within
+    #     max(max_violations, floor(rate × rows_checked)) — the "99.9%
+    #     complete is acceptable" contract real pipelines run on.
+    # Per-partition audit lineage stays exact (pass = 0 violations in that
+    # partition), so verdict-diff and resume semantics are unaffected.
+    severity: str = "error"
+    max_violations: int = 0
+    max_violation_rate: float = 0.0
+
+    def allowed_violations(self, rows_checked: int) -> int:
+        """Run-level tolerance in rows, given the table size the run saw."""
+        import math
+
+        return max(
+            int(self.max_violations),
+            int(math.floor(self.max_violation_rate * max(rows_checked, 0))),
+        )
 
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         raise NotImplementedError

@@ -39,6 +39,10 @@ Schema (YAML or JSON — chosen by file extension):
       - {type: upsert_conflict, table: t, keys: [k], compare: [v1, v2]}
       - {type: payload, table: clips, reference_table: reference_decode}
       - {type: drift, table: clips, column: dur_ms, bounds: [0, 30000]}
+      - {type: freshness, table: clips, ts_col: part_date, max_age_hours: 48,
+         ref: '2024-01-05'}
+      - {type: partition_completeness, table: clips,
+         expected_range: ['2024-01-01', '2024-01-04'], min_rows: 100}
       - {type: derived_range, table: clips, name: chars_per_sec,
          expr: "length(transcript) / (dur_ms / 1000.0)", min: 1, max: 30}
 """
@@ -95,6 +99,26 @@ class SuiteConfig:
 
 
 def _build_constraint(spec: dict) -> Constraint:
+    """Build the typed constraint, then apply the GENERIC verdict keys any
+    spec may carry (Constraint.severity docstring): ``severity: warn`` and
+    the ``max_violations`` / ``max_violation_rate`` tolerances."""
+    c = _build_typed_constraint(spec)
+    sev = spec.get("severity", "error")
+    if sev not in ("error", "warn"):
+        raise ValueError(f"severity must be 'error' or 'warn', got {sev!r}")
+    if sev != "error":
+        c.severity = sev
+    if "max_violations" in spec:
+        c.max_violations = int(spec["max_violations"])
+    if "max_violation_rate" in spec:
+        rate = float(spec["max_violation_rate"])
+        if not 0.0 <= rate < 1.0:
+            raise ValueError(f"max_violation_rate must be in [0, 1), got {rate}")
+        c.max_violation_rate = rate
+    return c
+
+
+def _build_typed_constraint(spec: dict) -> Constraint:
     # YAML 1.1 parses a bare `on:` key as boolean True (the classic yaml
     # pitfall) — the equality constraint's join key is spelled `on`, so
     # normalize it back instead of KeyError'ing on a valid-looking config
@@ -205,6 +229,26 @@ def _build_constraint(spec: dict) -> Constraint:
             dim=int(spec["dim"]),
             required=bool(spec.get("required", True)),
             check_norm=bool(spec.get("check_norm", True)),
+        )
+    if t == "freshness":
+        from unify_spark.operators.constraints import FreshnessConstraint
+
+        return FreshnessConstraint(
+            spec["table"],
+            spec["ts_col"],
+            max_age_hours=float(spec["max_age_hours"]),
+            ref=spec.get("ref"),
+        )
+    if t == "partition_completeness":
+        from unify_spark.operators.constraints import PartitionCompletenessConstraint
+
+        rng = spec.get("expected_range")
+        return PartitionCompletenessConstraint(
+            spec["table"],
+            expected_parts=spec.get("expected_parts"),
+            expected_range=tuple(rng) if rng else None,
+            min_rows=int(spec.get("min_rows", 1)),
+            part_col=spec.get("part_col"),
         )
     if t == "drift":
         bounds = spec.get("bounds")

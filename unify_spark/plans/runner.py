@@ -33,6 +33,16 @@ class RunResult:
     skipped: list[str] = field(default_factory=list)
     errors: dict[str, str] = field(default_factory=dict)  # constraint -> message
     wall_sec: float = 0.0
+    # severity interpretation of violation_counts (see Constraint.severity):
+    # blocking = error-severity names whose count exceeds their tolerance,
+    # tolerated = error-severity names with violations within tolerance,
+    # warn_counts = warn-severity names with violations. Filled by the
+    # runner after counting; with no severity/tolerance declared anywhere,
+    # blocking == violation_counts' non-zero names (the legacy pass rule).
+    blocking: dict[str, int] = field(default_factory=dict)
+    tolerated: dict[str, int] = field(default_factory=dict)
+    warn_counts: dict[str, int] = field(default_factory=dict)
+    _severity_applied: bool = False
 
     @property
     def total_violations(self) -> int:
@@ -40,7 +50,11 @@ class RunResult:
 
     @property
     def passed(self) -> bool:
-        return self.total_violations == 0 and not self.errors
+        if self.errors:
+            return False
+        if self._severity_applied:
+            return not self.blocking
+        return self.total_violations == 0
 
 
 class ValidationRunner:
@@ -81,6 +95,24 @@ class ValidationRunner:
         rows = df.groupBy(self.ctx.part_col).count().collect()
         n = sum(r["count"] for r in rows)
         return n, sorted(r[0] for r in rows)
+
+    def _apply_severity(self, res: RunResult, constraints: list[Constraint]) -> None:
+        """Classify each emitted constraint's total count under its declared
+        severity/tolerance (Constraint.severity docstring). Resumed stages
+        hydrated without a rows_checked figure fall back to the ABSOLUTE
+        tolerance only (rate × 0) — conservative, never more permissive."""
+        for c in constraints:
+            for name in getattr(c, "emits", [c.name]):
+                n = res.violation_counts.get(name, 0)
+                if n == 0:
+                    continue
+                if getattr(c, "severity", "error") == "warn":
+                    res.warn_counts[name] = n
+                elif n > c.allowed_violations(res.rows_checked.get(name, 0)):
+                    res.blocking[name] = n
+                else:
+                    res.tolerated[name] = n
+        res._severity_applied = True
 
     # -- main ----------------------------------------------------------------
 
@@ -300,6 +332,7 @@ class ValidationRunner:
                 list(ex.map(run_stage_trapped, todo))
 
         res.wall_sec = time.time() - t_run
+        self._apply_severity(res, constraints)
         return res
 
     def profile(
@@ -307,6 +340,7 @@ class ValidationRunner:
         tables: dict[str, DataFrame],
         exclude: dict | None = None,
         sketches: bool = True,
+        metrics_repo: str | None = None,
     ) -> None:
         """Persist column statistics (null rate, min/max, HLL distinct,
         sketch quantiles; global + per-partition) next to the audit table —
@@ -314,17 +348,31 @@ class ValidationRunner:
         With ``sketches=True`` the per-partition MERGEABLE HLL sketch state
         is also persisted (profile.hll_sketches), so later distinct-count
         questions over any partition subset — including partitions loaded by
-        FUTURE runs — merge stored sketches instead of re-scanning data."""
+        FUTURE runs — merge stored sketches instead of re-scanning data.
+        ``metrics_repo``: additionally append the stat rows, tagged with this
+        run's id, to a cross-run :class:`~unify_spark.plans.history.
+        MetricsRepository` (parquet dir or Iceberg table) so trailing-window
+        anomaly checks scan ONE table instead of one sidecar per run."""
         from unify_spark.operators.profile import hll_sketches, profile_table
 
+        repo = None
+        if metrics_repo is not None:
+            from unify_spark.plans.history import MetricsRepository
+
+            repo = MetricsRepository(self.spark, metrics_repo)
         exclude = exclude or {}
         for name, df in tables.items():
             part = self.ctx.part_col if self.ctx.part_col in df.columns else None
             excl = exclude.get(name, ["bytes"])
             stats = profile_table(df, name, part_col=part, exclude=excl)
+            if repo is not None:
+                stats = stats.persist()
+                repo.append(stats, self.ctx.run_id)
             stats.coalesce(1).write.mode("append").parquet(
                 os.path.join(self.out_dir, "profile")
             )
+            if repo is not None:
+                stats.unpersist()
             if sketches:
                 cols = [
                     n
@@ -402,6 +450,7 @@ class ValidationRunner:
                 todo.append(c)
         if not todo:
             res.wall_sec = time.time() - t_run
+            self._apply_severity(res, constraints)
             return res
 
         table_rows: dict[str, int] = {}
@@ -454,6 +503,7 @@ class ValidationRunner:
         todo = live
         if not todo:
             res.wall_sec = time.time() - t_run
+            self._apply_severity(res, constraints)
             return res
 
         # Row-local constraints (domain/range/required/composite/mapping)
@@ -578,6 +628,7 @@ class ValidationRunner:
                 parts.append(f"{label}={ts - prev:.2f}s")
                 prev = ts
             print(f"[timing] run_fused: {' '.join(parts)}", file=sys.stderr)
+        self._apply_severity(res, constraints)
         return res
 
     def run_incremental(
