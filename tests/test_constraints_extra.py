@@ -538,3 +538,98 @@ def test_partition_completeness_constraint(spark, audio_tables):
          "max_age_hours": 24, "ref": "2025-01-08"}
     )
     assert fb.name == "freshness:clips.part_date"
+
+
+def test_aggregate_consistency_constraint(spark):
+    """Cross-table aggregate reconciliation: grouped and global modes,
+    one-sided keys read 'absent', NULL group keys pair null-safely,
+    tolerances bound the comparison, config builds it."""
+    from unify_spark.operators.constraints import AggregateConsistencyConstraint
+    from unify_spark.plans.config import _build_constraint
+
+    ctx = ValidationContext(run_id="agg")
+    orders = spark.createDataFrame(
+        [("o1", 30.0), ("o2", 50.0), ("o3", 10.0), (None, 7.0)],
+        "order_id string, total double",
+    )
+    items = spark.createDataFrame(
+        [
+            ("o1", 10.0), ("o1", 20.0),            # sums to 30 -> ok
+            ("o2", 45.0),                           # 45 != 50 -> violation
+            ("o4", 5.0),                            # parent missing -> both sides absent once
+            (None, 7.0),                            # NULL key sums to 7 -> ok
+        ],
+        "order_id string, amount double",
+    )
+    tables = {"orders": orders, "items": items}
+
+    c = AggregateConsistencyConstraint(
+        "items", "sum(amount)", "orders", "sum(total)", on="order_id"
+    )
+    rows = {r["key"]: (r["observed"], r["expected"]) for r in c.violations(tables, ctx).collect()}
+    assert rows == {
+        "o2": ("45.0", "50.0"),
+        "o3": ("absent", "10.0"),
+        "o4": ("5.0", "absent"),
+    }
+    assert c.aux_tables == ["orders"]
+
+    # tolerance: |45-50| <= abs_tol 5 and <= rel_tol 0.1*50 both pass o2
+    for kw in ({"abs_tol": 5.0}, {"rel_tol": 0.1}):
+        ct = AggregateConsistencyConstraint(
+            "items", "sum(amount)", "orders", "sum(total)", on="order_id", **kw
+        )
+        keys = {r["key"] for r in ct.violations(tables, ctx).collect()}
+        assert keys == {"o3", "o4"}, kw
+
+    # global mode: one '*' row when totals disagree, none when they match
+    g = AggregateConsistencyConstraint("items", "count(*)", "orders", "count(*)")
+    (gr,) = g.violations(tables, ctx).collect()
+    assert gr["key"] == "*" and gr["observed"] == "5.0" and gr["expected"] == "4.0"
+    g_ok = AggregateConsistencyConstraint(
+        "items", "count(distinct order_id)", "orders", "count(distinct order_id)"
+    )
+    assert g_ok.violations(tables, ctx).count() == 0
+
+    built = _build_constraint(
+        {"type": "agg_consistency", "left_table": "items",
+         "left_expr": "sum(amount)", "right_table": "orders",
+         "right_expr": "sum(total)", "on": ["order_id"], "rel_tol": 0.01}
+    )
+    assert built.on == ["order_id"] and built.rel_tol == 0.01
+    assert built.name.startswith("agg_consistency:items.sum(amount)")
+
+
+def test_aggregate_consistency_in_runner(spark, audio_tables, tmp_path):
+    """Runs as a suite member: transcript_map must have exactly as many
+    distinct clip_ids as it has rows mapping each clip once — here we pin
+    the per-partition clips row count against itself via a derived table
+    (exact match -> pass) and a corrupted twin (fail)."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.operators.constraints import AggregateConsistencyConstraint
+    from unify_spark.plans import ValidationRunner
+
+    clips = audio_tables["clips"]
+    twin = clips.select("clip_id", "part_date")
+    tables = {"clips": clips, "twin": twin}
+    ok = ValidationRunner(
+        spark, str(tmp_path / "ok"), ValidationContext(run_id="a1", payload_cap_ms=50)
+    ).run(
+        tables,
+        [AggregateConsistencyConstraint("clips", "count(*)", "twin", "count(*)", on="part_date")],
+        resume=False,
+    )
+    assert ok.passed
+
+    dropped = {"clips": clips, "twin": twin.filter(F.col("part_date") != "2025-01-03")}
+    bad = ValidationRunner(
+        spark, str(tmp_path / "bad"), ValidationContext(run_id="a2", payload_cap_ms=50)
+    ).run(
+        dropped,
+        [AggregateConsistencyConstraint("clips", "count(*)", "twin", "count(*)", on="part_date")],
+        resume=False,
+    )
+    assert not bad.passed
+    name = next(iter(bad.violation_counts))
+    assert bad.violation_counts[name] == 1  # exactly the dropped partition

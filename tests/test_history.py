@@ -299,3 +299,29 @@ def test_verdict_diff_classes_and_cli(spark, tmp_path, capsys):
     )
     rep0 = _json.loads(capsys.readouterr().out)
     assert rc0 == 0 and rep0["n_changes"] == 0
+
+
+def test_metrics_repo_retention(spark, tmp_path):
+    """prune(keep_last=K) drops the oldest runs file-grain (no rewrite) and
+    the envelope window follows; deleting an unknown run is a no-op."""
+    repo = MetricsRepository(spark, str(tmp_path / "repo"))
+    for i in range(6):
+        repo.append([("clips", "*", "dur_ms", "max", str(30000.0 + i))], f"r{i}")
+    n_files = len([f for f in os.listdir(repo.path) if f.endswith(".parquet")])
+    assert n_files == 6
+
+    dropped = repo.prune(keep_last=3)
+    assert dropped == ["r0", "r1", "r2"]
+    assert repo.runs() == ["r3", "r4", "r5"]
+    assert len([f for f in os.listdir(repo.path) if f.endswith(".parquet")]) == 3
+
+    repo.delete_run("nope")  # unknown run: no-op
+    assert repo.runs() == ["r3", "r4", "r5"]
+
+    with pytest.raises(ValueError):
+        repo.prune(keep_last=0)
+
+    # prune below min_history leaves repo_anomalies with its no-basis error
+    repo.prune(keep_last=1)
+    with pytest.raises(ValueError):
+        repo_anomalies(repo)

@@ -383,3 +383,98 @@ def test_severity_config_keys(tmp_path):
     with _pytest.raises(ValueError):
         _build_constraint({"type": "range", "table": "t", "column": "c",
                            "max": 1, "max_violation_rate": 1.5})
+
+
+def test_depends_on_gating(spark, audio_tables, tmp_path):
+    """Cost-control gating: a stage whose dependency blocked is recorded
+    'gated' (NOT 'done' — a resumed run retries it), a passing / warn /
+    within-tolerance dependency lets it run, gating is transitive, and
+    unknown names / cycles are config errors raised before any job."""
+    from unify_spark.operators.constraints import (
+        RangeConstraint,
+        RequiredConstraint,
+        UniquenessConstraint,
+    )
+    from unify_spark.plans.runner import _dep_levels
+
+    def rng(**attrs):  # fixture has dur_ms violations -> blocking by default
+        c = RangeConstraint("clips", "dur_ms", min_value=0, max_value=30000,
+                            min_exclusive=True)
+        for k, v in attrs.items():
+            setattr(c, k, v)
+        return c
+
+    def req(deps):
+        c = RequiredConstraint("clips", ["transcript"])
+        c.depends_on = deps
+        return c
+
+    def uniq(deps=None):
+        c = UniquenessConstraint("clips", ["clip_id"])
+        if deps:
+            c.depends_on = deps
+        return c
+
+    # blocked dependency gates the dependent, transitively
+    suite = [rng(), req(["range:clips.dur_ms"]), uniq(["required:clips.transcript"])]
+    res = ValidationRunner(
+        spark, str(tmp_path / "g1"), ValidationContext(run_id="g1", payload_cap_ms=50)
+    ).run(audio_tables, suite, resume=False)
+    assert res.gated == {
+        "required:clips.transcript": ["range:clips.dur_ms"],
+        "uniqueness:clips.clip_id": ["required:clips.transcript"],
+    }
+    assert "required:clips.transcript" not in res.violation_counts
+    # gated stages are not 'done': a resumed run retries them
+    import os
+
+    from unify_spark.plans.audit import AuditLog
+
+    audit = AuditLog(spark, os.path.join(str(tmp_path / "g1"), "audit"))
+    assert "required:clips.transcript" not in audit.completed_constraints("g1")
+    res2 = ValidationRunner(
+        spark, str(tmp_path / "g1"), ValidationContext(run_id="g1", payload_cap_ms=50)
+    ).run(audio_tables, suite, resume=True)
+    assert "range:clips.dur_ms" in res2.skipped  # the dep itself resumed
+    assert res2.gated  # still blocked -> gated again, not silently done
+
+    # warn-severity and within-tolerance dependencies do NOT gate
+    for dep_kw in ({"severity": "warn"}, {"max_violations": 10**9}):
+        r = ValidationRunner(
+            spark, str(tmp_path / f"g2{list(dep_kw)[0]}"),
+            ValidationContext(run_id="g2", payload_cap_ms=50),
+        ).run(audio_tables, [rng(**dep_kw), req(["range:clips.dur_ms"])], resume=False)
+        assert r.gated == {} and "required:clips.transcript" in r.violation_counts
+
+    # fused waves behave identically
+    fres = ValidationRunner(
+        spark, str(tmp_path / "g3"), ValidationContext(run_id="g3", payload_cap_ms=50)
+    ).run_fused(audio_tables, suite, resume=False)
+    assert fres.gated == res.gated
+    assert fres.violation_counts.keys() == res.violation_counts.keys()
+    fok = ValidationRunner(
+        spark, str(tmp_path / "g4"), ValidationContext(run_id="g4", payload_cap_ms=50)
+    ).run_fused(
+        audio_tables, [rng(severity="warn"), req(["range:clips.dur_ms"]), uniq()],
+        resume=False,
+    )
+    assert fok.gated == {} and "uniqueness:clips.clip_id" in fok.violation_counts
+
+    # config errors surface before any Spark job
+    with pytest.raises(ValueError, match="unknown"):
+        _dep_levels([req(["nope"])])
+    a, b = req([]), req([])
+    a.name, b.name = "A", "B"
+    a.depends_on, b.depends_on = ["B"], ["A"]
+    with pytest.raises(ValueError, match="cycle"):
+        _dep_levels([a, b])
+
+
+def test_depends_on_config_key(tmp_path):
+    from unify_spark.plans.config import _build_constraint
+
+    c = _build_constraint(
+        {"type": "required", "table": "clips", "columns": ["transcript"],
+         "depends_on": ["uniqueness:clips.clip_id"]}
+    )
+    assert c.depends_on == ["uniqueness:clips.clip_id"]

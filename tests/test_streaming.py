@@ -383,3 +383,46 @@ def test_sessionize_under_structured_streaming(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {("u1", 0, 2, 3.0), ("u1", 30, 1, 3.0), ("u2", 5, 1, 4.0)}
+
+
+def test_foreach_batch_metrics_repo(spark, stream_source, tmp_path):
+    """metrics_repo turns the foreachBatch suite into an online monitor:
+    every micro-batch appends its profile rows under run '<run>@<batch>',
+    and repo_anomalies scores the newest batch against the trailing ones."""
+    from unify_spark.operators.constraints import RangeConstraint
+    from unify_spark.plans.history import MetricsRepository, repo_anomalies
+
+    schema = spark.read.parquet(stream_source).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_source)
+    )
+    repo_path = str(tmp_path / "repo")
+    q = validate_stream_foreach_batch(
+        stream,
+        [RangeConstraint("clips", "dur_ms", min_value=0, max_value=30000, min_exclusive=True)],
+        tables={},
+        stream_table_name="clips",
+        out_dir=str(tmp_path / "runs"),
+        ctx=ValidationContext(run_id="mon"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_repo=repo_path,
+    )
+    q.awaitTermination(180)
+
+    repo = MetricsRepository(spark, repo_path)
+    runs = repo.runs()
+    assert len(runs) == 4 and all(r.startswith("mon@") for r in runs)
+    # every batch carries the stream table's global rows metric
+    stats = repo.global_stats(stats=("rows",))
+    assert set(stats) == set(runs)
+    assert all(v[("clips", "*", "rows")] > 0 for v in stats.values())
+    # a planted outlier batch (10x the volume) trips the online envelope
+    # on the rows metric against the trailing real batches
+    repo.append([("clips", "*", "*", "rows", str(10_000_000.0))], "mon@99")
+    flagged = {
+        (a["table"], a["column"], a["stat"])
+        for a in repo_anomalies(repo, min_history=3, k=4.0, stats=("rows",))
+    }
+    assert ("clips", "*", "rows") in flagged

@@ -107,6 +107,8 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
         report["warnings"] = res.warn_counts
     if res.tolerated:
         report["tolerated"] = res.tolerated
+    if res.gated:
+        report["gated_stages"] = res.gated
     if inc_plan is not None:
         report["incremental"] = inc_plan.summary()
     elif not getattr(args, "no_fingerprints", False):

@@ -5,6 +5,7 @@ from unify_spark.operators.base import (  # noqa: F401
     empty_violations,
 )
 from unify_spark.operators.constraints import (  # noqa: F401
+    AggregateConsistencyConstraint,
     AnyPresentConstraint,
     CompositeIdConstraint,
     ConditionalConstraint,

@@ -137,6 +137,16 @@ class Constraint:
     severity: str = "error"
     max_violations: int = 0
     max_violation_rate: float = 0.0
+    # Names of other constraints in the same suite that must COMPLETE
+    # WITHOUT BLOCKING before this one runs (cost control at 10^12 rows:
+    # no point paying the decode-heavy payload scan when the schema-level
+    # gates already failed). A dependency that fails beyond its tolerance,
+    # errors, or was itself gated marks this constraint 'gated' — recorded
+    # in the audit (not 'done', so a resumed run retries it once the
+    # dependency is fixed) and in RunResult.gated. Warn-severity and
+    # within-tolerance dependency violations do NOT gate. The fused runner
+    # executes dependency levels as successive fused waves.
+    depends_on: list[str] | None = None
 
     def allowed_violations(self, rows_checked: int) -> int:
         """Run-level tolerance in rows, given the table size the run saw."""

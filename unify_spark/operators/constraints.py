@@ -1188,3 +1188,95 @@ class PartitionCompletenessConstraint(Constraint):
             expected=f">= {self.min_rows} rows",
             part="part",
         )
+
+
+class AggregateConsistencyConstraint(Constraint):
+    """Cross-table aggregate reconciliation: an aggregate expression of the
+    LEFT table must equal (within tolerance) an aggregate expression of the
+    RIGHT table, globally or per group key — "count of transcript rows per
+    clip == 1", "sum(child.amount) == parent.total", "row count of the
+    transformed table == row count of the raw table". This is the
+    aggregate-level integrity check row-grain constraints cannot express:
+    a load that silently drops rows passes every per-row predicate.
+
+    ``on``: group-key column(s) shared by both tables; ``None`` compares one
+    global aggregate per side. A key present on only one side is a
+    violation (the missing side reads 'absent', not 0 — absence and zero
+    are different facts). ``rel_tol``/``abs_tol``: |left − right| must be
+    ≤ max(abs_tol, rel_tol·|right|) — exact by default; floats crossing
+    engines legitimately need a tolerance.
+
+    Scale shape: each side reduces map-side to (key, double) partial
+    aggregates before its shuffle — at 10^12 rows the full-outer join sees
+    n_keys tiny rows per side, never data rows; global mode is two
+    single-row aggregates. NULL group keys compare null-safely via a
+    sentinel. Violations are keyed by the group key ('*' in global mode),
+    observed = left aggregate, expected = right aggregate.
+    """
+
+    def __init__(
+        self,
+        left_table: str,
+        left_expr: str,
+        right_table: str,
+        right_expr: str,
+        on: list[str] | str | None = None,
+        rel_tol: float = 0.0,
+        abs_tol: float = 0.0,
+        name: str | None = None,
+    ):
+        self.table = left_table
+        self.left_table = left_table
+        self.left_expr = left_expr
+        self.right_table = right_table
+        self.right_expr = right_expr
+        self.on = [on] if isinstance(on, str) else (list(on) if on else None)
+        self.rel_tol = float(rel_tol)
+        self.abs_tol = float(abs_tol)
+        # the verdict reads BOTH tables — incremental seeding must know
+        self.aux_tables = [right_table]
+        self.name = name or (
+            f"agg_consistency:{left_table}.{left_expr}={right_table}.{right_expr}"
+        )
+
+    def _side(self, df: DataFrame, expr: str, alias: str) -> DataFrame:
+        agg = F.expr(expr).cast("double").alias(alias)
+        if not self.on:
+            return df.agg(agg)
+        keys = [
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00null\x00")).alias(k)
+            for k in self.on
+        ]
+        return df.groupBy(*keys).agg(agg)
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        la = self._side(tables[self.left_table], self.left_expr, "lv")
+        ra = self._side(tables[self.right_table], self.right_expr, "rv")
+        if self.on:
+            joined = la.join(ra, on=self.on, how="full_outer")
+            key = F.concat_ws("|", *[F.col(k) for k in self.on])
+        else:
+            joined = la.crossJoin(ra)
+            key = F.lit("*")
+        bound = F.greatest(
+            F.lit(self.abs_tol), F.lit(self.rel_tol) * F.abs(F.col("rv"))
+        )
+        bad = joined.filter(
+            F.col("lv").isNull()
+            | F.col("rv").isNull()
+            | (F.abs(F.col("lv") - F.col("rv")) > bound)
+        )
+        # expected is per-row (the right side's aggregate), which
+        # make_violations cannot express (literal expected only) — project
+        # the canonical schema directly
+        return bad.select(
+            F.lit(self.name).alias("constraint"),
+            F.lit(self.left_table).alias("table"),
+            key.cast("string").alias("key"),
+            F.lit(None).cast("string").alias("column"),
+            F.coalesce(F.col("lv").cast("string"), F.lit("absent")).alias("observed"),
+            F.coalesce(F.col("rv").cast("string"), F.lit("absent")).alias("expected"),
+            F.lit(None).cast("string").alias("part"),
+            F.lit(None).cast("string").alias("source_file"),
+            F.lit(None).cast("long").alias("row_index"),
+        )

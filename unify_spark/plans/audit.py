@@ -30,7 +30,7 @@ AUDIT_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType(), False),
         T.StructField("constraint", T.StringType(), False),
         T.StructField("part", T.StringType(), True),  # null = stage-level row
-        T.StructField("status", T.StringType(), False),  # pass|fail|done|error
+        T.StructField("status", T.StringType(), False),  # pass|fail|done|error|gated
         T.StructField("violation_count", T.LongType(), True),
         T.StructField("rows_checked", T.LongType(), True),
         T.StructField("wall_sec", T.DoubleType(), True),

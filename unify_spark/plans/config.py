@@ -115,6 +115,8 @@ def _build_constraint(spec: dict) -> Constraint:
         if not 0.0 <= rate < 1.0:
             raise ValueError(f"max_violation_rate must be in [0, 1), got {rate}")
         c.max_violation_rate = rate
+    if "depends_on" in spec:
+        c.depends_on = list(spec["depends_on"])
     return c
 
 
@@ -229,6 +231,19 @@ def _build_typed_constraint(spec: dict) -> Constraint:
             dim=int(spec["dim"]),
             required=bool(spec.get("required", True)),
             check_norm=bool(spec.get("check_norm", True)),
+        )
+    if t == "agg_consistency":
+        from unify_spark.operators.constraints import AggregateConsistencyConstraint
+
+        return AggregateConsistencyConstraint(
+            spec["left_table"],
+            spec["left_expr"],
+            spec["right_table"],
+            spec["right_expr"],
+            on=spec.get("on"),
+            rel_tol=float(spec.get("rel_tol", 0.0)),
+            abs_tol=float(spec.get("abs_tol", 0.0)),
+            name=spec.get("name"),
         )
     if t == "freshness":
         from unify_spark.operators.constraints import FreshnessConstraint

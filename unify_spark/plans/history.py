@@ -279,6 +279,42 @@ class MetricsRepository:
         tbl = ds.dataset(self.path, format="parquet").to_table(columns=columns)
         return list(zip(*(tbl.column(c).to_pylist() for c in columns)))
 
+    def delete_run(self, run_id: str) -> None:
+        """Drop one run's metric rows. Catalog route: `DELETE WHERE run_id`
+        (snapshot-isolated). Parquet route: every append wrote one
+        `metrics-<batch>.parquet` file carrying exactly one run's rows, so
+        deletion is per-file — no table rewrite, O(files of that run)."""
+        if self._catalog_table():
+            from unify_spark.sources.iceberg import delete_run_sql
+
+            self.spark.sql(delete_run_sql(self.path, run_id))
+            return
+        if not os.path.exists(self.path):
+            return
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(self.path, format="parquet")
+        for frag in dataset.get_fragments():
+            rids = frag.to_table(columns=["run_id"]).column("run_id").to_pylist()
+            if rids and all(r == run_id for r in rids):
+                os.remove(frag.path)
+            elif run_id in rids:  # defensive: mixed file (not written by us)
+                raise ValueError(
+                    f"{frag.path} mixes runs; refusing partial file delete"
+                )
+
+    def prune(self, keep_last: int) -> list[str]:
+        """Retention: drop every run except the newest ``keep_last``,
+        returning the dropped run_ids (an anomaly envelope only needs its
+        trailing window; an unbounded repo eventually straddles regime
+        changes and dulls the MAD)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        dropped = self.runs()[:-keep_last]
+        for rid in dropped:
+            self.delete_run(rid)
+        return dropped
+
     def global_stats(
         self, stats: tuple[str, ...] = DEFAULT_STATS
     ) -> dict[str, dict[tuple[str, str, str], float]]:

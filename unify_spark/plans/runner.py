@@ -42,6 +42,9 @@ class RunResult:
     blocking: dict[str, int] = field(default_factory=dict)
     tolerated: dict[str, int] = field(default_factory=dict)
     warn_counts: dict[str, int] = field(default_factory=dict)
+    # stages skipped because a depends_on dependency blocked (or was itself
+    # gated): {constraint name: [the dependency names that gated it]}
+    gated: dict[str, list[str]] = field(default_factory=dict)
     _severity_applied: bool = False
 
     @property
@@ -55,6 +58,40 @@ class RunResult:
         if self._severity_applied:
             return not self.blocking
         return self.total_violations == 0
+
+
+def _dep_levels(constraints: list[Constraint]) -> list[list[Constraint]]:
+    """Topological levels over ``depends_on`` (Kahn). Level 0 has no deps,
+    level k depends only on earlier levels. Unknown names and cycles are
+    config errors, raised before any Spark job runs."""
+    names = {c.name for c in constraints}
+    deps = {
+        c.name: set(getattr(c, "depends_on", None) or []) for c in constraints
+    }
+    unknown = sorted({d for ds in deps.values() for d in ds} - names)
+    if unknown:
+        raise ValueError(f"depends_on references unknown constraints: {unknown}")
+    order = {c.name: i for i, c in enumerate(constraints)}
+    by_name = {c.name: c for c in constraints}
+    levels: list[list[Constraint]] = []
+    placed: set[str] = set()
+    remaining = dict(deps)
+    while remaining:
+        # suite order within a level: fail_fast's "first anomaly" must mean
+        # first in the user's suite, not first alphabetically
+        ready = sorted(
+            (n for n, ds in remaining.items() if ds <= placed),
+            key=order.__getitem__,
+        )
+        if not ready:
+            raise ValueError(
+                f"depends_on cycle among constraints: {sorted(remaining)}"
+            )
+        levels.append([by_name[n] for n in ready])
+        placed.update(ready)
+        for n in ready:
+            del remaining[n]
+    return levels
 
 
 class ValidationRunner:
@@ -113,6 +150,48 @@ class ValidationRunner:
                 else:
                     res.tolerated[name] = n
         res._severity_applied = True
+
+    @staticmethod
+    def _stage_blocks(res: RunResult, c: Constraint) -> bool:
+        """True when this (already-completed or hydrated) stage's outcome
+        should gate its dependents: it errored, or an emitted count exceeds
+        its tolerance under error severity. Mirrors _apply_severity's rule,
+        evaluated mid-run over the counts accumulated so far."""
+        if c.name in res.errors:
+            return True
+        if getattr(c, "severity", "error") == "warn":
+            return False
+        return any(
+            res.violation_counts.get(n, 0)
+            > c.allowed_violations(res.rows_checked.get(n, 0))
+            for n in getattr(c, "emits", [c.name])
+        )
+
+    def _gating_deps(self, res: RunResult, c: Constraint, by_name: dict) -> list[str]:
+        """The subset of c's dependencies that gate it right now — blocked
+        outcomes plus dependencies that were themselves gated (never ran:
+        their verdict is unknown, so the dependent cannot run either)."""
+        return [
+            d
+            for d in (getattr(c, "depends_on", None) or [])
+            if d in res.gated or self._stage_blocks(res, by_name[d])
+        ]
+
+    def _record_gated(self, res: RunResult, c: Constraint, bad_deps: list[str]) -> None:
+        """Audit a gated stage. Deliberately NOT 'done': a resumed run
+        retries the stage once the dependency is fixed."""
+        res.gated[c.name] = bad_deps
+        self.audit.append(
+            [
+                {
+                    "run_id": self.ctx.run_id,
+                    "constraint": c.name,
+                    "part": None,
+                    "status": "gated",
+                    "violation_count": None,
+                }
+            ]
+        )
 
     # -- main ----------------------------------------------------------------
 
@@ -320,16 +399,44 @@ class ValidationRunner:
                 if self.ctx.fail_fast:
                     raise
 
+        # dependency-ordered execution: stages run in topological levels,
+        # and a stage whose depends_on dependency blocked (or was gated) is
+        # recorded 'gated' instead of paying its (possibly decode-heavy)
+        # scan. Suites without depends_on collapse to a single level —
+        # identical behavior to before.
+        by_name = {c.name: c for c in constraints}
+        todo_names = {c.name for c in todo}
+        levels = _dep_levels(constraints)
+
         if self.ctx.fail_fast:
-            for c in todo:
-                run_stage_trapped(c)
-                if any(res.violation_counts.get(n) for n in getattr(c, "emits", [c.name])):
-                    # reference semantics: first anomaly kills the job
-                    # (src/com/vendekagonlabs/unify/import/engine.clj:166-181)
-                    break
+            stop = False
+            for level in levels:
+                for c in level:
+                    if stop or c.name not in todo_names:
+                        continue
+                    bad_deps = self._gating_deps(res, c, by_name)
+                    if bad_deps:
+                        self._record_gated(res, c, bad_deps)
+                        continue
+                    run_stage_trapped(c)
+                    if any(res.violation_counts.get(n) for n in getattr(c, "emits", [c.name])):
+                        # reference semantics: first anomaly kills the job
+                        # (src/com/vendekagonlabs/unify/import/engine.clj:166-181)
+                        stop = True
         else:
             with ThreadPoolExecutor(max_workers=max(1, max_concurrency)) as ex:
-                list(ex.map(run_stage_trapped, todo))
+                for level in levels:
+                    runnable = []
+                    for c in level:
+                        if c.name not in todo_names:
+                            continue
+                        bad_deps = self._gating_deps(res, c, by_name)
+                        if bad_deps:
+                            self._record_gated(res, c, bad_deps)
+                        else:
+                            runnable.append(c)
+                    if runnable:
+                        list(ex.map(run_stage_trapped, runnable))
 
         res.wall_sec = time.time() - t_run
         self._apply_severity(res, constraints)
@@ -403,6 +510,7 @@ class ValidationRunner:
         tables: dict[str, DataFrame],
         constraints: list[Constraint],
         resume: bool = True,
+        _single_wave: bool = False,
     ) -> RunResult:
         """Execute the whole plan as ONE Spark job: the violation DataFrames
         of every pending stage are unioned (they share VIOLATION_SCHEMA) and
@@ -415,8 +523,46 @@ class ValidationRunner:
         Trade-off vs ``run``: per-stage wall times and mid-run resumability
         collapse to one unit (all-or-nothing per run); use ``run`` when
         stage-grain checkpointing matters more than throughput.
+
+        ``depends_on`` executes as successive fused WAVES: each dependency
+        level fuses into one job, and the next wave drops (gates) stages
+        whose dependencies blocked — the cheap schema wave still saturates
+        the cluster while the decode-heavy wave only runs on clean input.
         """
         from pyspark.sql import Window
+
+        # _single_wave: internal recursion from the wave loop below — the
+        # subset's depends_on names live in EARLIER waves, already adjudicated
+        # by the caller, so re-leveling (and its unknown-name check) must not
+        # run on the subset.
+        levels = [constraints] if _single_wave else _dep_levels(constraints)
+        if len(levels) > 1:
+            by_name = {c.name: c for c in constraints}
+            total = RunResult(run_id=self.ctx.run_id)
+            t0 = time.time()
+            for level in levels:
+                keep = []
+                for c in level:
+                    bad_deps = self._gating_deps(total, c, by_name)
+                    if bad_deps:
+                        self._record_gated(total, c, bad_deps)
+                    else:
+                        keep.append(c)
+                if keep:
+                    r = self.run_fused(tables, keep, resume=resume, _single_wave=True)
+                    total.verdicts.update(r.verdicts)
+                    for k, v in r.violation_counts.items():
+                        total.violation_counts[k] = total.violation_counts.get(k, 0) + v
+                    total.rows_checked.update(r.rows_checked)
+                    total.skipped.extend(r.skipped)
+                    total.errors.update(r.errors)
+                    total.blocking.update(r.blocking)
+                    total.tolerated.update(r.tolerated)
+                    total.warn_counts.update(r.warn_counts)
+                    total.gated.update(r.gated)
+            total.wall_sec = time.time() - t0
+            total._severity_applied = True
+            return total
 
         t_run = time.time()
         # UNIFY_TIMING=1 prints a per-phase breakdown to stderr — the tool

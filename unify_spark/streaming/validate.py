@@ -72,8 +72,16 @@ def validate_stream_foreach_batch(
     ctx: ValidationContext | None = None,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    metrics_repo: str | None = None,
 ):
-    """Run the full suite per micro-batch. Returns the started query."""
+    """Run the full suite per micro-batch. Returns the started query.
+
+    ``metrics_repo``: additionally profile the stream table each
+    micro-batch and append the stat rows (run_id = "<run>@<batch_id>") to
+    a cross-run :class:`~unify_spark.plans.history.MetricsRepository` —
+    batches become the history axis, so ``repo_anomalies`` turns into an
+    ONLINE monitor: "is this micro-batch's null rate / volume / max out of
+    line with the trailing batches", with no state store and no rescan."""
     from unify_spark.plans.runner import ValidationRunner
 
     base_ctx = ctx or ValidationContext()
@@ -92,6 +100,12 @@ def validate_stream_foreach_batch(
         batch_tables = dict(tables)
         batch_tables[stream_table_name] = batch_df
         runner.run(batch_tables, constraints, resume=True)
+        if metrics_repo is not None:
+            runner.profile(
+                {stream_table_name: batch_df},
+                sketches=False,
+                metrics_repo=metrics_repo,
+            )
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:
