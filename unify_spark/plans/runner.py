@@ -676,7 +676,20 @@ class ValidationRunner:
         for p in plans[1:]:
             fused = fused.unionByName(p)
 
-        fused = fused.persist()
+        # The union of P subtrees would persist as the SUM of their output
+        # partitions (~800 tiny blocks at bench shape); every downstream
+        # pass — count agg, cap window, violating-keys write — then
+        # re-schedules that many tasks, and task scheduling is
+        # driver-serial: the same wall cost at EVERY parallelism level, a
+        # pure scaling-efficiency tax (measured ~2-3s of the local[8]
+        # fused wall). One hash exchange on `constraint` collapses the
+        # cached frame to shuffle_partitions blocks and pre-establishes
+        # exactly the partitioning the cap window (partitionBy constraint)
+        # needs, so no downstream exchange reappears. Violation rows are
+        # slim (strings + a long); the per-constraint concentration this
+        # causes is the cap window's existing funnel, moved one stage
+        # earlier.
+        fused = fused.repartition("constraint").persist()
         try:
             counts_rows = (
                 fused.groupBy("constraint", "part")
