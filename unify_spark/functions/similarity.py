@@ -483,7 +483,15 @@ def embedding_near_dup_pairs(
     banded = lsh_band_signatures(
         df, dim, n_planes, n_bands, id_col, vec_col, out_id="id", out_vec="v"
     )
-    vecs = banded.select("id", "v").dropDuplicates(["id"])
+    # vectors for the re-rank come straight from the INPUT, not from
+    # `banded`: deriving them from the signature frame re-ran the whole
+    # hyperplane matmul a second time and pushed n_bands copies of every
+    # vector through the dedup exchange (banded is one row per (vector,
+    # band)). Candidate ids all come from `banded`, so the inner joins
+    # below still see only vectors the signature pass accepted.
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).dropDuplicates(["id"])
     slim = _drop_hot_buckets(banded.select("band", "sig", "id"), ["band", "sig"], max_bucket_size)
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
