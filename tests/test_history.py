@@ -325,3 +325,31 @@ def test_metrics_repo_retention(spark, tmp_path):
     repo.prune(keep_last=1)
     with pytest.raises(ValueError):
         repo_anomalies(repo)
+
+
+def test_metrics_prune_cli(spark, tmp_path, capsys):
+    """CLI twin of prune/delete_run: --keep N keeps the newest N, --run-id
+    drops one run, unknown run / both-or-neither flags exit 2."""
+    import json
+
+    from unify_spark import cli
+
+    repo = MetricsRepository(spark, str(tmp_path / "repo"))
+    for i in range(4):
+        repo.append([("clips", "*", "dur_ms", "max", str(30000.0 + i))], f"r{i}")
+
+    assert cli.main(["metrics-prune", "--repo", repo.path, "--keep", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dropped"] == ["r0", "r1"] and out["kept"] == ["r2", "r3"]
+
+    assert cli.main(["metrics-prune", "--repo", repo.path, "--run-id", "r2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dropped"] == ["r2"] and out["kept"] == ["r3"]
+
+    assert cli.main(["metrics-prune", "--repo", repo.path, "--run-id", "nope"]) == 2
+    assert cli.main(["metrics-prune", "--repo", repo.path]) == 2
+    assert (
+        cli.main(["metrics-prune", "--repo", repo.path, "--keep", "1", "--run-id", "r3"])
+        == 2
+    )
+    capsys.readouterr()

@@ -419,6 +419,38 @@ def cmd_history_anomalies(args) -> int:
     return 1 if anomalies else 0
 
 
+def cmd_metrics_prune(args) -> int:
+    """Retention for the cross-run metrics repository: keep the newest
+    --keep runs (or drop one explicit --run-id) and print what was
+    dropped. The anomaly envelope only needs its trailing window; an
+    unbounded repo eventually straddles regime changes and dulls the MAD
+    (plans/history.py prune docstring)."""
+    from unify_spark.plans.history import MetricsRepository
+
+    if bool(args.keep) == bool(args.run_id):
+        print("metrics-prune: pass exactly one of --keep or --run-id", file=sys.stderr)
+        return 2
+    spark = get_spark("unify-metrics-prune")
+    repo = MetricsRepository(spark, args.repo)
+    if args.run_id:
+        known = repo.runs()
+        if args.run_id not in known:
+            print(f"metrics-prune: unknown run_id {args.run_id!r}", file=sys.stderr)
+            return 2
+        repo.delete_run(args.run_id)
+        dropped = [args.run_id]
+    else:
+        dropped = repo.prune(args.keep)
+    print(
+        json.dumps(
+            {"repo": args.repo, "dropped": dropped, "kept": repo.runs()},
+            indent=2,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_reconcile(args) -> int:
     """Row-level diff of two table versions (migration validation): classify
     every key as only-left / only-right / differing / matching via slim
@@ -1258,6 +1290,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--min-history", type=int, default=3,
                    help="minimum prior observations per metric (default 3)")
     s.set_defaults(fn=cmd_history_anomalies)
+
+    s = sub.add_parser(
+        "metrics-prune",
+        help="retention for a cross-run metrics repository: keep the "
+             "newest N runs or drop one run_id",
+    )
+    s.add_argument("--repo", required=True, metavar="PATH",
+                   help="metrics repository (parquet dir or Iceberg table)")
+    s.add_argument("--keep", type=int, default=None, metavar="N",
+                   help="drop every run except the newest N")
+    s.add_argument("--run-id", default=None,
+                   help="drop exactly this run instead of pruning by count")
+    s.set_defaults(fn=cmd_metrics_prune)
 
     s = sub.add_parser(
         "reconcile",
