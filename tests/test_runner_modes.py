@@ -478,3 +478,33 @@ def test_depends_on_config_key(tmp_path):
          "depends_on": ["uniqueness:clips.clip_id"]}
     )
     assert c.depends_on == ["uniqueness:clips.clip_id"]
+
+
+def test_fused_cap_two_phase_topk(spark, audio_tables, tmp_path):
+    """Over-cap constraints write EXACTLY the global top-cap rows by
+    (key, column) through the salted two-phase window (the all-under-cap
+    fast path skips the sort entirely); under-cap constraints keep every
+    row. Pinned against a driver-side sort of the uncapped key set."""
+    ctx = ValidationContext(run_id="tp", payload_cap_ms=50, violation_cap=5)
+    runner = ValidationRunner(spark, str(tmp_path), ctx)
+    res = runner.run_fused(audio_tables, audio_suite(), resume=False)
+    import os as _os
+
+    ev = spark.read.parquet(_os.path.join(str(tmp_path), "violations_fused"))
+    per = {
+        r["constraint"]: r["n"]
+        for r in ev.groupBy("constraint").count().withColumnRenamed("count", "n").collect()
+    }
+    for name, total in res.violation_counts.items():
+        if total:
+            assert per.get(name, 0) == min(total, 5), name
+    # the uniqueness evidence is the global minimum-5 by (key, column):
+    # recompute the full violation frame and take its sorted head
+    uniq = [c for c in audio_suite() if c.name == "uniqueness:clips.clip_id"][0]
+    full = uniq.violations(audio_tables, ctx).select("key", "column").collect()
+    expected = sorted((r["key"], r["column"]) for r in full)[:5]
+    got = sorted(
+        (r["key"], r["column"])
+        for r in ev.filter(ev.constraint == uniq.name).select("key", "column").collect()
+    )
+    assert got == expected

@@ -721,12 +721,37 @@ class ValidationRunner:
             # dynamic partition overwrite: only the constraints present in
             # THIS run's output are replaced — a resumed run must not wipe
             # the violation files of stages it skipped.
-            w = Window.partitionBy("constraint").orderBy(
-                F.col("key").asc_nulls_last(), F.col("column").asc_nulls_last()
-            )
-            capped = fused.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") <= self.ctx.violation_cap
-            ).drop("_rn")
+            #
+            # The per-constraint totals are already on the driver, so the
+            # cap is applied only when some constraint actually exceeds it
+            # — the common all-under-cap run writes the cached frame as-is,
+            # no sort, no window. When a constraint IS over cap, a plain
+            # window by constraint would funnel its entire violation set
+            # (potentially ~1% of 10^12 rows) into ONE sort task; instead
+            # the standard two-phase top-k: a salted pre-window keeps at
+            # most cap rows per (constraint, salt) in parallel, and the
+            # global window ranks only the <= cap * n_salts survivors.
+            cap = self.ctx.violation_cap
+            order = [F.col("key").asc_nulls_last(), F.col("column").asc_nulls_last()]
+            if all(sum(d.values()) <= cap for d in counts.values()):
+                capped = fused
+            else:
+                n_salts = int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+                pre_w = Window.partitionBy("constraint", "_salt").orderBy(*order)
+                w = Window.partitionBy("constraint").orderBy(*order)
+                capped = (
+                    fused.withColumn(
+                        "_salt",
+                        F.pmod(F.xxhash64("key", "column"), F.lit(n_salts)),
+                    )
+                    .withColumn("_prn", F.row_number().over(pre_w))
+                    .filter(F.col("_prn") <= cap)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= cap)
+                    .drop("_salt", "_prn", "_rn")
+                )
             # retried with backoff like run()'s per-stage write (retry.py);
             # the fused violation write lands BEFORE the audit rows below,
             # preserving violations-before-lineage ordering
