@@ -198,7 +198,7 @@ def test_shipped_example_configs_parse():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     suite_doc = yaml.safe_load(open(os.path.join(repo, "examples", "suite.yaml")))
     suite = parse_suite_config(suite_doc, base_dir=os.path.join(repo, "examples"))
-    assert len(suite.constraints) == 9
+    assert len(suite.constraints) == 10
     names = {c.name for c in suite.constraints}
     assert any(n.startswith("equality:") for n in names)  # the `on:` consumer
 

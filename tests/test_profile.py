@@ -129,3 +129,117 @@ def test_drift_baseline_requires_bounds(spark):
     df = spark.createDataFrame([(1.0, "p1")], ["dur_ms", "part_date"])
     with _pytest.raises(ValueError, match="bounds"):
         c.histogram_rows({"clips": df}, ValidationContext())
+
+
+def test_categorical_drift(spark):
+    """Category-mix PSI across partitions: a partition whose codec mix
+    flips fails, uniform-mix partitions pass, a brand-new category in one
+    partition trips the novelty alarm (and only there), and contract
+    ``categories`` reproduces the discovered verdicts from a single scan."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.drift import CategoricalDriftConstraint
+
+    rows = []
+    # p0-p2: uniform 50/50 pcm/mulaw mix; p3: 95/5 (mix shift); p4 adds a
+    # new codec seen nowhere else
+    for p in ("p0", "p1", "p2"):
+        rows += [(f"{p}-{i}", "pcm_s16le" if i % 2 else "mulaw", p) for i in range(200)]
+    rows += [(f"p3-{i}", "pcm_s16le" if i % 20 else "mulaw", "p3") for i in range(200)]
+    rows += [(f"p4-{i}", "pcm_s16le" if i % 2 else "mulaw", "p4") for i in range(198)]
+    rows += [("p4-new-1", "opus", "p4"), ("p4-new-2", None, "p4")]
+    df = spark.createDataFrame(rows, ["clip_id", "codec", "part_date"])
+    ctx = ValidationContext(run_id="cd")
+
+    c = CategoricalDriftConstraint("clips", "codec", psi_threshold=0.25)
+    scores = {p: (psi, new, failed) for p, psi, new, failed in c.partition_scores({"clips": df}, ctx)}
+    assert not scores["p0"][2] and not scores["p1"][2] and not scores["p2"][2]
+    assert scores["p3"][2] and scores["p3"][0] > 0.25      # mix shift: PSI
+    assert scores["p4"][1] == 2 and scores["p4"][2]        # opus + <null> novel
+    assert scores["p0"][1] == 0
+
+    vio = c.violations({"clips": df}, ctx)
+    got = {r["key"]: r["observed"] for r in vio.collect()}
+    assert set(got) == {"p3", "p4"}
+    assert got["p4"].endswith("new=2")
+
+    # novelty alarm off: p4's tiny 2-row perturbation alone must not fail
+    c_nof = CategoricalDriftConstraint(
+        "clips", "codec", psi_threshold=0.25, new_category_fails=False
+    )
+    s_nof = {p: f for p, _, _, f in c_nof.partition_scores({"clips": df}, ctx)}
+    assert s_nof["p3"] and not s_nof["p4"]
+
+    # contract categories (single-scan path): same verdicts; categories not
+    # listed collapse into <other>, so the novel codec now registers as
+    # mix drift only if it moves PSI (2 rows of 200 do not)
+    c_dom = CategoricalDriftConstraint(
+        "clips", "codec",
+        categories=["pcm_s16le", "mulaw", "opus", "<null>"],
+        psi_threshold=0.25,
+    )
+    s_dom = {p: (new, f) for p, _, new, f in c_dom.partition_scores({"clips": df}, ctx)}
+    assert s_dom["p3"][1] and s_dom["p4"] == (2, True)
+
+    # config build
+    from unify_spark.plans.config import _build_typed_constraint
+
+    built = _build_typed_constraint(
+        {"type": "categorical_drift", "table": "clips", "column": "codec",
+         "top_k": 10, "categories": ["pcm_s16le", "mulaw"],
+         "new_category_fails": False}
+    )
+    assert isinstance(built, CategoricalDriftConstraint)
+    assert built.top_k == 10 and built.categories == ["pcm_s16le", "mulaw"]
+    assert built.new_category_fails is False
+
+
+def test_categorical_drift_vs_baseline(spark, tmp_path):
+    """Cross-run categorical drift: run A persists its category-count
+    sidecar; run B's shifted partitions score against A's POOLED mix —
+    the flipped-mix partition fails on PSI, the new-codec partition trips
+    the cross-run novelty alarm, unchanged partitions pass, and the
+    combined drift_vs_baseline frame carries null ks for categorical rows."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.drift import CategoricalDriftConstraint
+    from unify_spark.plans.runner import ValidationRunner
+
+    # opus is DECLARED in the contract but absent from run A's data: its
+    # appearance in run B must trip the cross-run novelty alarm
+    cats = ["pcm_s16le", "mulaw", "opus"]
+    c = CategoricalDriftConstraint("clips", "codec", categories=cats)
+
+    base_rows = [
+        (f"a-{p}-{i}", "pcm_s16le" if i % 2 else "mulaw", f"p{p}")
+        for p in range(3)
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(base_rows, ["clip_id", "codec", "part_date"])
+    out_a = str(tmp_path / "runA")
+    ra = ValidationRunner(spark, out_a, ValidationContext(run_id="a"))
+    assert ra.persist_drift_histograms({"clips": base}, [c]) == 1
+
+    cur_rows = (
+        [(f"b0-{i}", "pcm_s16le" if i % 2 else "mulaw", "p0") for i in range(200)]
+        + [(f"b1-{i}", "pcm_s16le" if i % 20 else "mulaw", "p1") for i in range(200)]
+        + [(f"b2-{i}", "opus" if i % 2 else "mulaw", "p2") for i in range(200)]
+    )
+    cur = spark.createDataFrame(cur_rows, ["clip_id", "codec", "part_date"])
+    rb = ValidationRunner(spark, str(tmp_path / "runB"), ValidationContext(run_id="b"))
+    scored = {
+        r["part"]: r
+        for r in rb.drift_vs_baseline({"clips": cur}, [c], out_a).collect()
+    }
+    assert not scored["p0"]["failed"]
+    assert scored["p1"]["failed"] and scored["p1"]["psi"] > 0.25
+    assert scored["p2"]["failed"]  # opus never existed in run A
+    assert all(r["ks"] is None and r["ks_crit"] is None for r in scored.values())
+
+    # scores_vs_baseline's novelty count: opus is new vs the POOLED baseline
+    sb = {
+        r["part"]: r["new_categories"]
+        for r in c.scores_vs_baseline(
+            {"clips": cur}, ValidationContext(run_id="b"),
+            spark.read.parquet(f"{out_a}/cat_drift_hist"),
+        ).collect()
+    }
+    assert sb["p2"] == 1 and sb["p0"] == 0 and sb["p1"] == 0

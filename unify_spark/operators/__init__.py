@@ -24,7 +24,10 @@ from unify_spark.operators.constraints import (  # noqa: F401
     VectorConstraint,
     UpsertConflictConstraint,
 )
-from unify_spark.operators.drift import DriftConstraint  # noqa: F401
+from unify_spark.operators.drift import (  # noqa: F401
+    CategoricalDriftConstraint,
+    DriftConstraint,
+)
 from unify_spark.operators.payload import AudioPayloadConstraint  # noqa: F401
 from unify_spark.operators.profile import profile_table  # noqa: F401
 from unify_spark.operators.reconcile import (  # noqa: F401

@@ -259,3 +259,270 @@ class DriftConstraint(Constraint):
             expected=f"psi<={self.psi_threshold} and ks<=max({self.ks_threshold}, crit)",
             part="part",
         )
+
+
+class CategoricalDriftConstraint(Constraint):
+    """Category-MIX drift of a low-cardinality string column across
+    partitions — the check the numeric :class:`DriftConstraint` cannot
+    express: a scrape batch whose codec mix flips from pcm-dominated to
+    90% mulaw, or a brand-new codec appearing in one day's partition,
+    passes every per-row domain check (each value is individually legal)
+    but is exactly the distribution shift a training-data pipeline must
+    catch. Reference analogue: the per-kind allowed-set query validations
+    (src/com/vendekagonlabs/unify/validation/post_import/query.clj:151-186)
+    generalized from exact sets to frequency drift.
+
+    Per partition vs rest-of-table: PSI over category frequencies (add-1
+    smoothed, same formula as the numeric path; KS is undefined for
+    unordered categories) plus a NEW-CATEGORY count — categories observed
+    in the partition but nowhere else. ``new_category_fails`` controls
+    whether novelty alone fails the partition (default True: a codec that
+    exists only in one partition is the real-world rollout alarm).
+
+    Scale shape: ONE ``groupBy(part, value).count()`` over a key-only
+    projection is the sufficient statistic — (n_parts x n_categories)
+    rows regardless of input size. With contract ``categories`` supplied
+    (e.g. the codec DomainConstraint's allowed set) that is the only scan,
+    mirroring the numeric path's ``bounds``; without it, the global top-K
+    category set is discovered by re-aggregating the same statistic
+    through a distributed TakeOrdered (orderBy+limit — never a
+    single-task rank), costing one extra key-only scan. Tail categories
+    collapse into one ``<other>`` bucket so a high-cardinality column
+    cannot blow up the PSI grid; NULL is its own ``<null>`` category.
+    """
+
+    partition_grain = True
+
+    def __init__(
+        self,
+        table: str,
+        column: str,
+        top_k: int = 50,
+        psi_threshold: float = 0.25,
+        categories: list[str] | None = None,
+        new_category_fails: bool = True,
+    ):
+        self.table = table
+        self.column = column
+        self.top_k = int(top_k)
+        self.psi_threshold = float(psi_threshold)
+        self.categories = list(categories) if categories is not None else None
+        self.new_category_fails = bool(new_category_fails)
+        self.name = f"cat_drift:{table}.{column}"
+
+    OTHER = "<other>"
+    NULL = "<null>"
+
+    def histogram(self, df: DataFrame, part_col: str) -> DataFrame:
+        """(part, val, n) — the one distributed aggregation (map-side
+        combine; the shuffle carries distinct (part, val) keys only)."""
+        v = F.coalesce(F.col(self.column).cast("string"), F.lit(self.NULL))
+        return (
+            df.select(F.col(part_col).alias("part"), v.alias("val"))
+            .groupBy("part", "val")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _bucket_universe(self, hist: DataFrame) -> DataFrame:
+        """The PSI bucket set: contract categories when supplied, else the
+        global top-K by total count (TakeOrderedAndProject — distributed)."""
+        if self.categories is not None:
+            spark = hist.sparkSession
+            return spark.createDataFrame(
+                [(str(c),) for c in self.categories], "val string"
+            )
+        return (
+            hist.groupBy("val")
+            .agg(F.sum("n").alias("tot"))
+            .orderBy(F.desc("tot"), F.col("val"))
+            .limit(self.top_k)
+            .select("val")
+        )
+
+    def _bucketed(self, df: DataFrame, part_col: str, top: DataFrame) -> DataFrame:
+        """(part, val, n) with the tail collapsed into one <other> bucket —
+        bucket-grain re-aggregation of :meth:`histogram`."""
+        hist = self.histogram(df, part_col)
+        return (
+            hist.join(
+                F.broadcast(top.withColumn("_k", F.lit(1))), on="val", how="left"
+            )
+            .select(
+                "part",
+                F.when(F.col("_k").isNotNull(), F.col("val"))
+                .otherwise(F.lit(self.OTHER))
+                .alias("val"),
+                "n",
+            )
+            .groupBy("part", "val")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def scores_plan(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        """Lazy (part, psi, new_categories, failed) plan — fuses into the
+        same Spark job as every other constraint, no driver collect."""
+        df = tables[self.table]
+        top = self._bucket_universe(self.histogram(df, ctx.part_col))
+        b = self._bucketed(df, ctx.part_col, top)
+
+        # densify: every (part, bucket) cell, buckets = top ∪ {<other>}
+        parts = b.select("part").distinct()
+        vals = top.unionByName(
+            top.sparkSession.range(1).select(F.lit(self.OTHER).alias("val"))
+        )
+        dense = (
+            parts.crossJoin(F.broadcast(vals))
+            .join(b, on=["part", "val"], how="left")
+            .fillna(0, subset=["n"])
+        )
+        w_tot = Window.partitionBy("val")
+        dense = dense.withColumn("tot_n", F.sum("n").over(w_tot)).withColumn(
+            "rest_n", F.col("tot_n") - F.col("n")
+        )
+        w_part = Window.partitionBy("part")
+        n_buckets = F.count(F.lit(1)).over(w_part)
+        dense = (
+            dense.withColumn("part_total", F.sum("n").over(w_part))
+            .withColumn("rest_total", F.sum("rest_n").over(w_part))
+            .withColumn("nb", n_buckets)
+        )
+        p = (F.col("n") + 1.0) / (F.col("part_total") + F.col("nb"))
+        q = (F.col("rest_n") + 1.0) / (F.col("rest_total") + F.col("nb"))
+        psi_term = (p - q) * F.log(p / q)
+        is_new = (
+            (F.col("n") > 0) & (F.col("rest_n") == 0) & (F.col("val") != self.OTHER)
+        ).cast("int")
+        scored = (
+            dense.select(
+                "part", psi_term.alias("psi_term"), is_new.alias("is_new")
+            )
+            .groupBy("part")
+            .agg(
+                F.sum("psi_term").alias("psi"),
+                F.sum("is_new").alias("new_categories"),
+            )
+        )
+        failed = F.col("psi") > self.psi_threshold
+        if self.new_category_fails:
+            failed = failed | (F.col("new_categories") > 0)
+        return scored.select("part", "psi", "new_categories", failed.alias("failed"))
+
+    def partition_scores(
+        self, tables: dict[str, DataFrame], ctx: ValidationContext
+    ) -> list[tuple[str, float, int, bool]]:
+        rows = self.scores_plan(tables, ctx).orderBy("part").collect()
+        return [
+            (r["part"], r["psi"], r["new_categories"], r["failed"]) for r in rows
+        ]
+
+    def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        vio = self.scores_plan(tables, ctx).filter(F.col("failed"))
+        expected = f"psi<={self.psi_threshold}" + (
+            " and no new categories" if self.new_category_fails else ""
+        )
+        return make_violations(
+            vio,
+            constraint=self.name,
+            table=self.table,
+            key="part",
+            column=self.column,
+            observed=F.concat_ws(
+                ";",
+                F.concat(F.lit("psi="), F.round("psi", 4).cast("string")),
+                F.concat(F.lit("new="), F.col("new_categories").cast("string")),
+            ),
+            expected=expected,
+            part="part",
+        )
+
+    # -- cross-run categorical drift: persisted category-count sidecar -------
+
+    CAT_HIST_SCHEMA = "table string, column string, part string, val string, n long"
+
+    def histogram_rows(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
+        """Persistable per-partition category counts for cross-RUN drift —
+        the categorical analogue of the numeric ``histogram_rows``. Requires
+        contract ``categories`` for the same reason the numeric path
+        requires ``bounds``: buckets must be identical across runs. The
+        sidecar is metadata-sized: ≤ (len(categories)+1) × n_parts rows."""
+        if self.categories is None:
+            raise ValueError(
+                "cross-run categorical drift needs contract categories so "
+                f"buckets are stable across runs; construct "
+                f"CategoricalDriftConstraint({self.table!r}, {self.column!r}, "
+                "categories=[...])"
+            )
+        df = tables[self.table]
+        top = self._bucket_universe(self.histogram(df, ctx.part_col))
+        b = self._bucketed(df, ctx.part_col, top)
+        return b.select(
+            F.lit(self.table).alias("table"),
+            F.lit(self.column).alias("column"),
+            F.col("part").cast("string").alias("part"),
+            F.col("val").cast("string").alias("val"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    def scores_vs_baseline(
+        self,
+        tables: dict[str, DataFrame],
+        ctx: ValidationContext,
+        baseline: DataFrame,
+    ) -> DataFrame:
+        """(part, psi, new_categories, failed) of each CURRENT partition
+        against the pooled BASELINE category mix (a prior run's persisted
+        ``histogram_rows``). ``new_categories`` counts categories observed
+        now that the whole baseline corpus never contained — the codec-
+        rollout alarm across runs. The baseline side is a ≤ buckets-row
+        broadcast; cross-run drift costs one (part, value) aggregate over
+        the new data, never a rescan of the old."""
+        if self.categories is None:
+            raise ValueError(
+                "cross-run categorical drift needs contract categories "
+                "(see histogram_rows)"
+            )
+        df = tables[self.table]
+        top = self._bucket_universe(self.histogram(df, ctx.part_col))
+        cur = self._bucketed(df, ctx.part_col, top)
+        ref = (
+            baseline.filter(
+                (F.col("table") == self.table) & (F.col("column") == self.column)
+            )
+            .groupBy("val")
+            .agg(F.sum("n").alias("ref_n"))
+        )
+        parts = cur.select("part").distinct()
+        vals = top.unionByName(
+            top.sparkSession.range(1).select(F.lit(self.OTHER).alias("val"))
+        )
+        dense = (
+            parts.crossJoin(F.broadcast(vals))
+            .join(cur, on=["part", "val"], how="left")
+            .fillna(0, subset=["n"])
+            .join(F.broadcast(ref), on="val", how="left")
+            .fillna(0, subset=["ref_n"])
+        )
+        w_part = Window.partitionBy("part")
+        dense = (
+            dense.withColumn("part_total", F.sum("n").over(w_part))
+            .withColumn("ref_total", F.sum("ref_n").over(w_part))
+            .withColumn("nb", F.count(F.lit(1)).over(w_part))
+        )
+        p = (F.col("n") + 1.0) / (F.col("part_total") + F.col("nb"))
+        q = (F.col("ref_n") + 1.0) / (F.col("ref_total") + F.col("nb"))
+        psi_term = (p - q) * F.log(p / q)
+        is_new = (
+            (F.col("n") > 0) & (F.col("ref_n") == 0) & (F.col("val") != self.OTHER)
+        ).cast("int")
+        scored = (
+            dense.select("part", psi_term.alias("psi_term"), is_new.alias("is_new"))
+            .groupBy("part")
+            .agg(
+                F.sum("psi_term").alias("psi"),
+                F.sum("is_new").alias("new_categories"),
+            )
+        )
+        failed = F.col("psi") > self.psi_threshold
+        if self.new_category_fails:
+            failed = failed | (F.col("new_categories") > 0)
+        return scored.select("part", "psi", "new_categories", failed.alias("failed"))

@@ -265,6 +265,18 @@ def _build_typed_constraint(spec: dict) -> Constraint:
             min_rows=int(spec.get("min_rows", 1)),
             part_col=spec.get("part_col"),
         )
+    if t == "categorical_drift":
+        from unify_spark.operators.drift import CategoricalDriftConstraint
+
+        cats = spec.get("categories")
+        return CategoricalDriftConstraint(
+            spec["table"],
+            spec["column"],
+            top_k=int(spec.get("top_k", 50)),
+            psi_threshold=float(spec.get("psi_threshold", 0.25)),
+            categories=list(cats) if cats else None,
+            new_category_fails=bool(spec.get("new_category_fails", True)),
+        )
     if t == "drift":
         bounds = spec.get("bounds")
         return DriftConstraint(
