@@ -136,7 +136,9 @@ def _finish_validate(args, runner, tables, constraints, res, inc_plan=None) -> i
                 "constraint": r["constraint"],
                 "part": r["part"],
                 "psi": round(r["psi"], 4),
-                "ks": round(r["ks"], 4),
+                # categorical drift rows carry null ks (undefined for
+                # unordered categories)
+                "ks": round(r["ks"], 4) if r["ks"] is not None else None,
                 "failed": bool(r["failed"]),
             }
             for r in sorted(scored, key=lambda r: (r["constraint"], str(r["part"])))

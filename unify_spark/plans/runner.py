@@ -1034,22 +1034,41 @@ class ValidationRunner:
         (drift.py histogram_rows). Returns the number of constraints
         persisted. Bounded constraints only: stable bins across runs need
         contract bounds."""
-        from unify_spark.operators.drift import DriftConstraint
+        from unify_spark.operators.drift import (
+            CategoricalDriftConstraint,
+            DriftConstraint,
+        )
 
         drifts = [
             c for c in constraints if isinstance(c, DriftConstraint) and c.bounds
         ]
-        if not drifts:
-            return 0
-        out = drifts[0].histogram_rows(tables, self.ctx)
-        for c in drifts[1:]:
-            out = out.unionByName(c.histogram_rows(tables, self.ctx))
-        with_retries(
-            lambda: out.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.out_dir, "drift_hist"))
-        )
-        return len(drifts)
+        if drifts:
+            out = drifts[0].histogram_rows(tables, self.ctx)
+            for c in drifts[1:]:
+                out = out.unionByName(c.histogram_rows(tables, self.ctx))
+            with_retries(
+                lambda: out.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.out_dir, "drift_hist"))
+            )
+        # categorical sidecar: same contract (stable buckets need declared
+        # categories), separate file — the schemas differ (val string vs
+        # bucket long)
+        cats = [
+            c
+            for c in constraints
+            if isinstance(c, CategoricalDriftConstraint) and c.categories
+        ]
+        if cats:
+            out = cats[0].histogram_rows(tables, self.ctx)
+            for c in cats[1:]:
+                out = out.unionByName(c.histogram_rows(tables, self.ctx))
+            with_retries(
+                lambda: out.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.out_dir, "cat_drift_hist"))
+            )
+        return len(drifts) + len(cats)
 
     def drift_vs_baseline(
         self,
@@ -1062,26 +1081,56 @@ class ValidationRunner:
         (constraint, part, psi, ks, ks_crit, failed) rows. The baseline side
         is a ≤ n_bins-row broadcast per constraint — cross-run drift costs
         one histogram pass over the new data, never a rescan of the old."""
-        from unify_spark.operators.drift import DriftConstraint
+        from unify_spark.operators.drift import (
+            CategoricalDriftConstraint,
+            DriftConstraint,
+        )
 
-        hist_path = os.path.join(baseline_dir, "drift_hist")
-        baseline = self.spark.read.parquet(hist_path)
         drifts = [
             c for c in constraints if isinstance(c, DriftConstraint) and c.bounds
         ]
-        if not drifts:
-            raise ValueError("no bounded DriftConstraint in the plan to baseline")
-        out = None
-        for c in drifts:
-            scored = c.scores_vs_baseline(tables, self.ctx, baseline).select(
-                F.lit(c.name).alias("constraint"),
-                "part",
-                "psi",
-                "ks",
-                "ks_crit",
-                "failed",
+        cats = [
+            c
+            for c in constraints
+            if isinstance(c, CategoricalDriftConstraint) and c.categories
+        ]
+        if not drifts and not cats:
+            raise ValueError(
+                "no bounded DriftConstraint or categories-declared "
+                "CategoricalDriftConstraint in the plan to baseline"
             )
-            out = scored if out is None else out.unionByName(scored)
+        out = None
+        if drifts:
+            baseline = self.spark.read.parquet(
+                os.path.join(baseline_dir, "drift_hist")
+            )
+            for c in drifts:
+                scored = c.scores_vs_baseline(tables, self.ctx, baseline).select(
+                    F.lit(c.name).alias("constraint"),
+                    "part",
+                    "psi",
+                    "ks",
+                    "ks_crit",
+                    "failed",
+                )
+                out = scored if out is None else out.unionByName(scored)
+        if cats:
+            cat_baseline = self.spark.read.parquet(
+                os.path.join(baseline_dir, "cat_drift_hist")
+            )
+            for c in cats:
+                # categorical rows carry null ks/ks_crit (KS is undefined
+                # for unordered categories); new_categories folds into the
+                # shared verdict via `failed`
+                scored = c.scores_vs_baseline(tables, self.ctx, cat_baseline).select(
+                    F.lit(c.name).alias("constraint"),
+                    "part",
+                    "psi",
+                    F.lit(None).cast("double").alias("ks"),
+                    F.lit(None).cast("double").alias("ks_crit"),
+                    "failed",
+                )
+                out = scored if out is None else out.unionByName(scored)
         return out
 
 

@@ -126,30 +126,40 @@ def drift_monitor_foreach_batch(
 ):
     """Streaming distribution-drift monitor: score every micro-batch's
     partitions against a PRIOR run's persisted drift histograms
-    (``<baseline_dir>/drift_hist`` — written by the batch runner /
-    ``validate`` CLI) and append (batch_id, constraint, part, psi, ks,
-    ks_crit, failed) rows to ``<out_dir>/drift_stream``.
+    (``<baseline_dir>/drift_hist`` / ``cat_drift_hist`` — written by the
+    batch runner / ``validate`` CLI) and append (batch_id, constraint,
+    part, psi, ks, ks_crit, failed) rows to ``<out_dir>/drift_stream``
+    (categorical rows carry null ks/ks_crit).
 
     This is the online half of the cross-run drift design: the baseline is
     a ≤ n_bins-row broadcast per constraint, so each micro-batch costs ONE
     histogram aggregation over its own rows — no state store, no rescan of
     history, and the same bins/PSI/KS semantics as the batch path
     (operators/drift.py scores_vs_baseline). Returns the started query."""
-    from unify_spark.operators.drift import DriftConstraint
+    from unify_spark.operators.drift import CategoricalDriftConstraint, DriftConstraint
 
     base_ctx = ctx or ValidationContext()
     drifts = [c for c in constraints if isinstance(c, DriftConstraint) and c.bounds]
-    if not drifts:
-        raise ValueError("drift monitor needs at least one bounded DriftConstraint")
+    cats = [
+        c
+        for c in constraints
+        if isinstance(c, CategoricalDriftConstraint) and c.categories
+    ]
+    if not drifts and not cats:
+        raise ValueError(
+            "drift monitor needs at least one bounded DriftConstraint or "
+            "categories-declared CategoricalDriftConstraint"
+        )
     import os
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        baseline = batch_df.sparkSession.read.parquet(
-            os.path.join(baseline_dir, "drift_hist")
-        )
         out = None
+        if drifts:
+            baseline = batch_df.sparkSession.read.parquet(
+                os.path.join(baseline_dir, "drift_hist")
+            )
         for c in drifts:
             scored = c.scores_vs_baseline(
                 {c.table: batch_df}, base_ctx, baseline
@@ -163,6 +173,23 @@ def drift_monitor_foreach_batch(
                 "failed",
             )
             out = scored if out is None else out.unionByName(scored)
+        if cats:
+            cat_baseline = batch_df.sparkSession.read.parquet(
+                os.path.join(baseline_dir, "cat_drift_hist")
+            )
+            for c in cats:
+                scored = c.scores_vs_baseline(
+                    {c.table: batch_df}, base_ctx, cat_baseline
+                ).select(
+                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(c.name).alias("constraint"),
+                    "part",
+                    "psi",
+                    F.lit(None).cast("double").alias("ks"),
+                    F.lit(None).cast("double").alias("ks_crit"),
+                    "failed",
+                )
+                out = scored if out is None else out.unionByName(scored)
         out.coalesce(1).write.mode("append").parquet(
             os.path.join(out_dir, "drift_stream")
         )
