@@ -57,6 +57,18 @@ def test_suggests_expected_families(suggested, clean_tables):
     dur = rngs[("clips", "dur_ms")]
     assert ("min" in dur and "max" in dur) or "allowed_set" in dur
 
+    cds = {(s["table"], s["column"]): s for s in _by_type(suggested, "categorical_drift")}
+    cd = cds[("clips", "codec")]
+    assert cd["categories"] == codec_dom["allowed"]  # verified domain reused
+    ev = suggested["evidence"]["cat_drift:clips.codec"]
+    assert ev["from"] == "verified domain"
+    # the clean fixture's codec mix genuinely varies by partition (mp3-days
+    # vs ulaw-days), so the suggestion must arrive CALIBRATED above the
+    # observed baseline PSI — the suggested suite passes its own data
+    assert ev["calibrated"] and cd["psi_threshold"] >= 1.2 * ev["baseline_max_psi"]
+    # dim tables without the part column get no drift companion
+    assert ("codec_domain", "codec") not in cds
+
     reqs = {s["table"]: s for s in _by_type(suggested, "required")}
     assert "clip_id" in reqs["clips"]["columns"]
 

@@ -157,6 +157,52 @@ def suggest_constraints(
                     evidence[f"domain:{name}.{col}"] = {
                         "cardinality": len(vals), "rows": n_rows
                     }
+                    # an enum-like column on a partitioned table also gets
+                    # the mix-drift companion: the verified domain doubles
+                    # as the contract `categories`, so the drift check runs
+                    # from ONE (part, value) aggregate (no top-K discovery
+                    # scan) — per-row domain legality and category-mix
+                    # stability are different failures of the same column.
+                    # CALIBRATED against the profiled baseline (the
+                    # suggestion contract: the data it was derived from
+                    # must pass): the threshold sits 25% above the max
+                    # observed per-partition PSI (floor 0.25), and the
+                    # new-category alarm arms only when the baseline has
+                    # no partition-exclusive categories — "alert when the
+                    # mix drifts beyond what this corpus already shows".
+                    if part_col in tables[name].columns:
+                        from unify_spark.operators.base import (
+                            ValidationContext as _Ctx,
+                        )
+                        from unify_spark.operators.drift import (
+                            CategoricalDriftConstraint,
+                        )
+
+                        probe = CategoricalDriftConstraint(
+                            name, col, categories=vals,
+                            new_category_fails=False,
+                        )
+                        scores = probe.partition_scores(
+                            {name: tables[name]},
+                            _Ctx(run_id="suggest", part_col=part_col),
+                        )
+                        max_psi = max((s[1] for s in scores), default=0.0)
+                        novel = any(s[2] > 0 for s in scores)
+                        thr = max(0.25, round(1.25 * max_psi, 2))
+                        spec = {
+                            "type": "categorical_drift", "table": name,
+                            "column": col, "categories": vals,
+                            "new_category_fails": not novel,
+                        }
+                        if thr > 0.25:
+                            spec["psi_threshold"] = thr
+                        specs.append(spec)
+                        evidence[f"cat_drift:{name}.{col}"] = {
+                            "categories": len(vals),
+                            "from": "verified domain",
+                            "baseline_max_psi": round(max_psi, 4),
+                            "calibrated": thr > 0.25,
+                        }
 
             if (
                 null_rate == 0.0
