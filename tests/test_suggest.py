@@ -69,6 +69,14 @@ def test_suggests_expected_families(suggested, clean_tables):
     # dim tables without the part column get no drift companion
     assert ("codec_domain", "codec") not in cds
 
+    drs = {(s["table"], s["column"]): s for s in _by_type(suggested, "drift")}
+    ddur = drs[("clips", "dur_ms")]
+    assert ddur["bounds"][0] < ddur["bounds"][1]  # stable bins from observed range
+    # id-like columns never get a drift companion (a monotone id's
+    # per-partition distribution always "drifts")
+    assert ("transcript_map", "row_index") not in drs
+    assert ("clips", "clip_id") not in drs
+
     reqs = {s["table"]: s for s in _by_type(suggested, "required")}
     assert "clip_id" in reqs["clips"]["columns"]
 

@@ -138,6 +138,48 @@ def suggest_constraints(
                         "kind": "observed_bounds", "min": s["min"], "max": s["max"]
                     }
 
+                # numeric distribution-drift companion, same calibration
+                # contract as the categorical one: bounds = the observed
+                # range (stable bins), thresholds raised above the max
+                # per-partition PSI/KS the baseline already shows. Skipped
+                # for id-like columns (approx-distinct ≈ rows): a monotone
+                # id's per-partition distribution ALWAYS drifts, by design.
+                if (
+                    part_col in tables[name].columns
+                    and s["min"] < s["max"]
+                    and approx_d < n_rows * (1 - uniqueness_hll_slack)
+                ):
+                    from unify_spark.operators.base import (
+                        ValidationContext as _Ctx,
+                    )
+                    from unify_spark.operators.drift import DriftConstraint
+
+                    probe = DriftConstraint(
+                        name, col, bounds=(s["min"], s["max"])
+                    )
+                    dscores = probe.partition_scores(
+                        {name: tables[name]},
+                        _Ctx(run_id="suggest", part_col=part_col),
+                    )
+                    max_psi = max((x[1] for x in dscores), default=0.0)
+                    max_ks = max((x[2] for x in dscores), default=0.0)
+                    spec = {
+                        "type": "drift", "table": name, "column": col,
+                        "bounds": [s["min"], s["max"]],
+                    }
+                    psi_thr = max(0.25, round(1.25 * max_psi, 2))
+                    ks_thr = max(0.15, round(1.25 * max_ks, 2))
+                    if psi_thr > 0.25:
+                        spec["psi_threshold"] = psi_thr
+                    if ks_thr > 0.15:
+                        spec["ks_threshold"] = ks_thr
+                    specs.append(spec)
+                    evidence[f"drift:{name}.{col}"] = {
+                        "baseline_max_psi": round(max_psi, 4),
+                        "baseline_max_ks": round(max_ks, 4),
+                        "calibrated": psi_thr > 0.25 or ks_thr > 0.15,
+                    }
+
             if (
                 base == "string"
                 and 0 < approx_d <= domain_max_cardinality
