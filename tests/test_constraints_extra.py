@@ -633,3 +633,65 @@ def test_aggregate_consistency_in_runner(spark, audio_tables, tmp_path):
     assert not bad.passed
     name = next(iter(bad.violation_counts))
     assert bad.violation_counts[name] == 1  # exactly the dropped partition
+
+
+def test_aggregate_consistency_survives_resume(spark, tmp_path):
+    """Review fix: agg-consistency violations carry part=NULL, outside the
+    partition universe — the audit must record that key as a FAIL row so a
+    resumed run hydrates the failure instead of flipping the run to
+    passing (previously only all-pass universe rows were written)."""
+    from unify_spark.operators.constraints import AggregateConsistencyConstraint
+    from unify_spark.plans.runner import ValidationRunner
+
+    left = spark.createDataFrame(
+        [(f"c{i}", f"p{i % 2}") for i in range(10)], ["clip_id", "part_date"]
+    )
+    right = spark.createDataFrame([(f"t{i}",) for i in range(7)], ["tid"])
+    c = AggregateConsistencyConstraint("clips", "count(*)", "twin", "count(*)")
+    tables = {"clips": left, "twin": right}
+
+    for fused in (False, True):
+        out = str(tmp_path / f"agg_resume_{fused}")
+        ctx = ValidationContext(run_id="ar")
+        r1 = ValidationRunner(spark, out, ctx)
+        res1 = (r1.run_fused if fused else r1.run)(tables, [c], resume=False)
+        assert not res1.passed and res1.violation_counts[c.name] == 1
+
+        r2 = ValidationRunner(spark, out, ValidationContext(run_id="ar"))
+        res2 = (r2.run_fused if fused else r2.run)(tables, [c], resume=True)
+        assert c.name in res2.skipped
+        assert res2.violation_counts[c.name] == 1, "resume must not flip to passing"
+        assert not res2.passed
+
+
+def test_rate_tolerated_dependency_not_gated_on_resume(spark, tmp_path):
+    """Review fix: a dependency that passed via max_violation_rate must not
+    gate its dependents on resume — rows_checked is restored from the
+    stage's 'done' audit marker, keeping the rate denominator."""
+    from unify_spark.operators.constraints import (
+        RangeConstraint,
+        RequiredConstraint,
+    )
+    from unify_spark.plans.runner import ValidationRunner
+
+    rows = [(f"c{i}", 100 if i else -5, "p0") for i in range(100)]  # 1 violation
+    df = spark.createDataFrame(rows, ["clip_id", "dur_ms", "part_date"])
+    dep = RangeConstraint("clips", "dur_ms", min_value=0, max_value=30000)
+    dep.max_violation_rate = 0.05  # 1/100 tolerated
+    child = RequiredConstraint("clips", ["clip_id"])
+    child.depends_on = [dep.name]
+    tables = {"clips": df}
+
+    out = str(tmp_path / "rate_dep")
+    res1 = ValidationRunner(spark, out, ValidationContext(run_id="rd")).run(
+        tables, [dep, child], resume=False
+    )
+    assert res1.gated == {} and res1.passed  # tolerated dep never gates
+
+    # resume with everything done: the hydrated dep must STILL not gate
+    res2 = ValidationRunner(spark, out, ValidationContext(run_id="rd")).run(
+        tables, [dep, child], resume=True
+    )
+    assert res2.gated == {}, "hydrated rate-tolerated dep must not gate"
+    assert sorted(res2.skipped) == sorted([dep.name, child.name])
+    assert res2.rows_checked[dep.name] == 100  # denominator restored

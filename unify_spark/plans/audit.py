@@ -187,6 +187,22 @@ class AuditLog:
                 out.add(c)
         return out
 
+    def stage_rows_checked(self, run_id: str) -> dict[str, int]:
+        """rows_checked recorded on each completed stage's 'done' marker —
+        resumed-run hydration needs it so RATE tolerances
+        (max_violation_rate) and dependency gating keep the denominator
+        they had in the original attempt instead of degrading to the
+        absolute tolerance (rate × 0). Driver-side read (audit is tiny)."""
+        if not self._exists():
+            return {}
+        out: dict[str, int] = {}
+        for rid, c, s, n in self._read_columns(
+            ["run_id", "constraint", "status", "rows_checked"]
+        ):
+            if rid == run_id and s == "done" and n is not None:
+                out[c] = int(n)
+        return out
+
     def part_results(self, run_id: str) -> dict[str, dict[str | None, tuple[str, int]]]:
         """Latest per-(constraint, partition) pass/fail rows for a run:
         {constraint: {part: (status, violation_count)}}. This is the

@@ -60,6 +60,17 @@ class RunResult:
         return self.total_violations == 0
 
 
+def _shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating non-numeric
+    values like 'auto' (AQE-managed deployments) — used only to size the
+    fused cache layout and the cap salt, where any sane positive count
+    works."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions", str(default))))
+    except (TypeError, ValueError):
+        return default
+
+
 def _dep_levels(constraints: list[Constraint]) -> list[list[Constraint]]:
     """Topological levels over ``depends_on`` (Kahn). Level 0 has no deps,
     level k depends only on earlier levels. Unknown names and cycles are
@@ -216,6 +227,7 @@ class ValidationRunner:
         res = RunResult(run_id=self.ctx.run_id)
         done = self.audit.completed_constraints(self.ctx.run_id) if resume else set()
         parts_done = self.audit.part_results(self.ctx.run_id) if resume else {}
+        rows_done = self.audit.stage_rows_checked(self.ctx.run_id) if resume else {}
         universes: dict[str, list[str]] = {}
         table_rows: dict[str, int] = {}
         lock = threading.Lock()
@@ -230,6 +242,12 @@ class ValidationRunner:
                 res.violation_counts[name] = res.violation_counts.get(name, 0) + sum(
                     n for _, n in recorded.values()
                 )
+                # restore the rate-tolerance denominator from the stage's
+                # 'done' marker: without it a dependency that PASSED via
+                # max_violation_rate reads allowed_violations(0)=0 on
+                # resume and permanently gates its dependents
+                if c.name in rows_done:
+                    res.rows_checked.setdefault(name, rows_done[c.name])
                 for p, (s, _) in recorded.items():
                     res.verdicts[(name, p)] = s == "pass"
 
@@ -311,7 +329,10 @@ class ValidationRunner:
                             name, 0
                         ) + sum(name_counts.values())
                         res.rows_checked[name] = table_rows.get(c.table, 0)
-                        for p in pending:
+                        # include part keys that emitted violations beyond
+                        # the universe (table-level constraints emit
+                        # part=NULL) — see run_fused's audit loop
+                        for p in {*pending, *name_counts}:
                             n = name_counts.get(p, 0)
                             res.verdicts[(name, p)] = n == 0
                             part_rows.append(
@@ -576,6 +597,7 @@ class ValidationRunner:
         res = RunResult(run_id=self.ctx.run_id)
         done = self.audit.completed_constraints(self.ctx.run_id) if resume else set()
         parts_done = self.audit.part_results(self.ctx.run_id) if resume else {}
+        rows_done = self.audit.stage_rows_checked(self.ctx.run_id) if resume else {}
         _mark("resume_read")
 
         def hydrate(c: Constraint) -> None:
@@ -584,6 +606,10 @@ class ValidationRunner:
                 res.violation_counts[name] = res.violation_counts.get(name, 0) + sum(
                     n for _, n in recorded.values()
                 )
+                # see run()'s hydrate: rate tolerances and dependency gating
+                # need the original denominator on resume
+                if c.name in rows_done:
+                    res.rows_checked.setdefault(name, rows_done[c.name])
                 for p, (s, _) in recorded.items():
                     res.verdicts[(name, p)] = s == "pass"
 
@@ -682,14 +708,13 @@ class ValidationRunner:
         # re-schedules that many tasks, and task scheduling is
         # driver-serial: the same wall cost at EVERY parallelism level, a
         # pure scaling-efficiency tax (measured ~2-3s of the local[8]
-        # fused wall). One hash exchange on `constraint` collapses the
-        # cached frame to shuffle_partitions blocks and pre-establishes
-        # exactly the partitioning the cap window (partitionBy constraint)
-        # needs, so no downstream exchange reappears. Violation rows are
-        # slim (strings + a long); the per-constraint concentration this
-        # causes is the cap window's existing funnel, moved one stage
-        # earlier.
-        fused = fused.repartition("constraint").persist()
+        # fused wall). One ROUND-ROBIN exchange collapses the cached frame
+        # to shuffle_partitions balanced blocks; hashing by constraint
+        # here would funnel a large constraint's whole violation set into
+        # one cache task — the exact single-task concentration the salted
+        # cap below exists to avoid. Violation rows are slim (strings + a
+        # long), so the exchange is cheap.
+        fused = fused.repartition(_shuffle_partitions(self.spark)).persist()
         try:
             counts_rows = (
                 fused.groupBy("constraint", "part")
@@ -736,9 +761,7 @@ class ValidationRunner:
             if all(sum(d.values()) <= cap for d in counts.values()):
                 capped = fused
             else:
-                n_salts = int(
-                    self.spark.conf.get("spark.sql.shuffle.partitions", "200")
-                )
+                n_salts = _shuffle_partitions(self.spark)
                 pre_w = Window.partitionBy("constraint", "_salt").orderBy(*order)
                 w = Window.partitionBy("constraint").orderBy(*order)
                 capped = (
@@ -774,8 +797,15 @@ class ValidationRunner:
                 stage_total += total
                 res.violation_counts[name] = res.violation_counts.get(name, 0) + total
                 res.rows_checked[name] = table_rows.get(c.table, 0)
-                for p in stage_pending[c.name]:
-                    n = counts.get(name, {}).get(p, 0)
+                # every part key that actually EMITTED violations gets a
+                # lineage row, not just the partition universe: a
+                # table-level constraint (e.g. aggregate consistency) emits
+                # part=NULL rows, and recording only all-pass universe rows
+                # would let a resumed run hydrate the stage back to zero
+                # violations — a failed run silently flipping to passing
+                name_counts = counts.get(name, {})
+                for p in {*stage_pending[c.name], *name_counts}:
+                    n = name_counts.get(p, 0)
                     res.verdicts[(name, p)] = n == 0
                     audit_rows.append(
                         {
