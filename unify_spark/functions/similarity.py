@@ -488,10 +488,23 @@ def embedding_near_dup_pairs(
     # hyperplane matmul a second time and pushed n_bands copies of every
     # vector through the dedup exchange (banded is one row per (vector,
     # band)). Candidate ids all come from `banded`, so the inner joins
-    # below still see only vectors the signature pass accepted.
-    vecs = df.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).dropDuplicates(["id"])
+    # below still see only ids the signature pass accepted — and when a
+    # (malformed) duplicate id exists, the row_number prefers a
+    # well-formed vector deterministically, where dropDuplicates could
+    # nondeterministically pick the twin the signature pass rejected.
+    from pyspark.sql import Window
+
+    raw = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    pref = Window.partitionBy("id").orderBy(
+        F.col("v").isNull().cast("int"),
+        F.coalesce((F.size("v") != dim).cast("int"), F.lit(1)),
+        F.xxhash64(F.col("v").cast("string")),
+    )
+    vecs = (
+        raw.withColumn("_rn", F.row_number().over(pref))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     slim = _drop_hot_buckets(banded.select("band", "sig", "id"), ["band", "sig"], max_bucket_size)
     a, b = slim.alias("a"), slim.alias("b")
     cand = (

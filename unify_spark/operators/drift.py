@@ -67,8 +67,15 @@ class DriftConstraint(Constraint):
             .crossJoin(F.broadcast(stats))
         )
         width = (F.col("hi") - F.col("lo")) / F.lit(self.n_bins)
+        # clamp BOTH ends: with contract bounds, rows outside [lo, hi] are
+        # precisely the drift signal — a negative bucket would silently
+        # vanish from the dense (part × bucket) grid, so a partition
+        # shifted entirely below `lo` used to score as clean
         bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(self.n_bins - 1))
+            F.least(
+                F.greatest(F.floor((F.col("v") - F.col("lo")) / width), F.lit(0)),
+                F.lit(self.n_bins - 1),
+            )
         )
         return bounded.groupBy("part", bucket.alias("bucket")).agg(
             F.count(F.lit(1)).alias("n")
