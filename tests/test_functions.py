@@ -812,3 +812,21 @@ def test_clean_corpus_boilerplate_stage(spark):
     ids2 = {r["doc_id"] for r in kept2.collect()}
     kept2.unpersist()
     assert 2 in ids2 and rep2.removed_quality == 0
+
+
+def test_embedding_near_dup_prefers_valid_twin(spark):
+    """Review fix: with a duplicate id whose twin is malformed (null
+    vector), the re-rank vector table must pick the WELL-FORMED twin the
+    signature pass validated — dropDuplicates could nondeterministically
+    keep the null one and silently drop the pair."""
+    from unify_spark.functions.similarity import embedding_near_dup_pairs
+
+    dim = 8
+    v = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    rows = [("a", v), ("a", None), ("b", list(v))]  # a == b, plus a's bad twin
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = embedding_near_dup_pairs(
+        df, dim=dim, threshold=0.99, n_planes=20, n_bands=4, id_col="vec_id"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [("a", "b")]
+    assert abs(pairs[0]["cos_sim"] - 1.0) < 1e-9

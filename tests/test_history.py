@@ -353,3 +353,16 @@ def test_metrics_prune_cli(spark, tmp_path, capsys):
         == 2
     )
     capsys.readouterr()
+
+
+def test_metrics_prune_cli_flag_validation(spark, tmp_path, capsys):
+    """--keep 0 and --keep -1 exit 2 with a clean message (not a traceback),
+    and --keep 0 is not misread as a missing flag."""
+    from unify_spark import cli
+
+    repo = MetricsRepository(spark, str(tmp_path / "repo"))
+    repo.append([("clips", "*", "dur_ms", "max", "1.0")], "r0")
+    assert cli.main(["metrics-prune", "--repo", repo.path, "--keep", "0"]) == 2
+    assert "must be >= 1" in capsys.readouterr().err
+    assert cli.main(["metrics-prune", "--repo", repo.path, "--keep", "-1"]) == 2
+    capsys.readouterr()

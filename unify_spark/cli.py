@@ -429,8 +429,11 @@ def cmd_metrics_prune(args) -> int:
     (plans/history.py prune docstring)."""
     from unify_spark.plans.history import MetricsRepository
 
-    if bool(args.keep) == bool(args.run_id):
+    if (args.keep is None) == (args.run_id is None):
         print("metrics-prune: pass exactly one of --keep or --run-id", file=sys.stderr)
+        return 2
+    if args.keep is not None and args.keep < 1:
+        print("metrics-prune: --keep must be >= 1", file=sys.stderr)
         return 2
     spark = get_spark("unify-metrics-prune")
     repo = MetricsRepository(spark, args.repo)

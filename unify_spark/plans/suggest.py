@@ -81,6 +81,11 @@ def suggest_constraints(
     exclude = exclude or {}
     specs: list[dict] = []
     evidence: dict[str, dict] = {}
+    # deferred drift companions: (kind, table, column, probe constraint) —
+    # their calibration scores all evaluate in ONE union job after the
+    # per-column loop (a probe job per column would turn a one-pass
+    # suggestion into a column-by-column crawl at 10^9-row tables)
+    drift_probes: list[tuple] = []
     unique_cols: dict[str, set[str]] = {}  # table -> confirmed-unique columns
 
     profiles: dict[str, tuple[int, dict, DataFrame]] = {}
@@ -149,36 +154,12 @@ def suggest_constraints(
                     and s["min"] < s["max"]
                     and approx_d < n_rows * (1 - uniqueness_hll_slack)
                 ):
-                    from unify_spark.operators.base import (
-                        ValidationContext as _Ctx,
-                    )
                     from unify_spark.operators.drift import DriftConstraint
 
-                    probe = DriftConstraint(
-                        name, col, bounds=(s["min"], s["max"])
+                    drift_probes.append(
+                        ("drift", name, col,
+                         DriftConstraint(name, col, bounds=(s["min"], s["max"])))
                     )
-                    dscores = probe.partition_scores(
-                        {name: tables[name]},
-                        _Ctx(run_id="suggest", part_col=part_col),
-                    )
-                    max_psi = max((x[1] for x in dscores), default=0.0)
-                    max_ks = max((x[2] for x in dscores), default=0.0)
-                    spec = {
-                        "type": "drift", "table": name, "column": col,
-                        "bounds": [s["min"], s["max"]],
-                    }
-                    psi_thr = max(0.25, round(1.25 * max_psi, 2))
-                    ks_thr = max(0.15, round(1.25 * max_ks, 2))
-                    if psi_thr > 0.25:
-                        spec["psi_threshold"] = psi_thr
-                    if ks_thr > 0.15:
-                        spec["ks_threshold"] = ks_thr
-                    specs.append(spec)
-                    evidence[f"drift:{name}.{col}"] = {
-                        "baseline_max_psi": round(max_psi, 4),
-                        "baseline_max_ks": round(max_ks, 4),
-                        "calibrated": psi_thr > 0.25 or ks_thr > 0.15,
-                    }
 
             if (
                 base == "string"
@@ -213,38 +194,17 @@ def suggest_constraints(
                     # no partition-exclusive categories — "alert when the
                     # mix drifts beyond what this corpus already shows".
                     if part_col in tables[name].columns:
-                        from unify_spark.operators.base import (
-                            ValidationContext as _Ctx,
-                        )
                         from unify_spark.operators.drift import (
                             CategoricalDriftConstraint,
                         )
 
-                        probe = CategoricalDriftConstraint(
-                            name, col, categories=vals,
-                            new_category_fails=False,
+                        drift_probes.append(
+                            ("cat_drift", name, col,
+                             CategoricalDriftConstraint(
+                                 name, col, categories=vals,
+                                 new_category_fails=False,
+                             ))
                         )
-                        scores = probe.partition_scores(
-                            {name: tables[name]},
-                            _Ctx(run_id="suggest", part_col=part_col),
-                        )
-                        max_psi = max((s[1] for s in scores), default=0.0)
-                        novel = any(s[2] > 0 for s in scores)
-                        thr = max(0.25, round(1.25 * max_psi, 2))
-                        spec = {
-                            "type": "categorical_drift", "table": name,
-                            "column": col, "categories": vals,
-                            "new_category_fails": not novel,
-                        }
-                        if thr > 0.25:
-                            spec["psi_threshold"] = thr
-                        specs.append(spec)
-                        evidence[f"cat_drift:{name}.{col}"] = {
-                            "categories": len(vals),
-                            "from": "verified domain",
-                            "baseline_max_psi": round(max_psi, 4),
-                            "calibrated": thr > 0.25,
-                        }
 
             if (
                 null_rate == 0.0
@@ -290,6 +250,67 @@ def suggest_constraints(
                     evidence[f"referential:{child}.{col}->{parent}.{col}"] = {
                         "matched_on": "column name + parent uniqueness"
                     }
+    if drift_probes:
+        from pyspark.sql import functions as _F
+
+        from unify_spark.operators.base import ValidationContext as _Ctx
+
+        pctx = _Ctx(run_id="suggest", part_col=part_col)
+        union = None
+        for kind, name, col, probe in drift_probes:
+            sp = probe.scores_plan({name: tables[name]}, pctx)
+            # normalize to (tag, psi, aux): aux = ks for numeric,
+            # new-category count for categorical
+            aux = _F.col("ks") if kind == "drift" else _F.col(
+                "new_categories"
+            ).cast("double")
+            tagged = sp.select(
+                _F.lit(f"{kind}:{name}.{col}").alias("tag"),
+                _F.col("psi"),
+                aux.alias("aux"),
+            )
+            union = tagged if union is None else union.unionByName(tagged)
+        maxes = {
+            r["tag"]: (r["mp"] or 0.0, r["ma"] or 0.0)
+            for r in union.groupBy("tag")
+            .agg(_F.max("psi").alias("mp"), _F.max("aux").alias("ma"))
+            .collect()
+        }
+        for kind, name, col, probe in drift_probes:
+            max_psi, max_aux = maxes.get(f"{kind}:{name}.{col}", (0.0, 0.0))
+            psi_thr = max(0.25, round(1.25 * max_psi, 2))
+            if kind == "drift":
+                spec = {
+                    "type": "drift", "table": name, "column": col,
+                    "bounds": [probe.bounds[0], probe.bounds[1]],
+                }
+                ks_thr = max(0.15, round(1.25 * max_aux, 2))
+                if psi_thr > 0.25:
+                    spec["psi_threshold"] = psi_thr
+                if ks_thr > 0.15:
+                    spec["ks_threshold"] = ks_thr
+                evidence[f"drift:{name}.{col}"] = {
+                    "baseline_max_psi": round(max_psi, 4),
+                    "baseline_max_ks": round(max_aux, 4),
+                    "calibrated": psi_thr > 0.25 or ks_thr > 0.15,
+                }
+            else:
+                novel = max_aux > 0
+                spec = {
+                    "type": "categorical_drift", "table": name,
+                    "column": col, "categories": probe.categories,
+                    "new_category_fails": not novel,
+                }
+                if psi_thr > 0.25:
+                    spec["psi_threshold"] = psi_thr
+                evidence[f"cat_drift:{name}.{col}"] = {
+                    "categories": len(probe.categories),
+                    "from": "verified domain",
+                    "baseline_max_psi": round(max_psi, 4),
+                    "calibrated": psi_thr > 0.25,
+                }
+            specs.append(spec)
+
     return {"constraints": specs, "evidence": evidence}
 
 

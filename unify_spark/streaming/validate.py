@@ -101,11 +101,20 @@ def validate_stream_foreach_batch(
         batch_tables[stream_table_name] = batch_df
         runner.run(batch_tables, constraints, resume=True)
         if metrics_repo is not None:
-            runner.profile(
-                {stream_table_name: batch_df},
-                sketches=False,
-                metrics_repo=metrics_repo,
-            )
+            # replay-idempotent like the validation it rides on (the run is
+            # audit-resumed): a crash after process() but before the stream
+            # checkpoint commits replays this batch_id, and a second append
+            # under the same <run>@<batch> run_id would double-weight the
+            # batch in every envelope read off the repo
+            from unify_spark.plans.history import MetricsRepository
+
+            repo = MetricsRepository(batch_df.sparkSession, metrics_repo)
+            if bctx.run_id not in repo.runs():
+                runner.profile(
+                    {stream_table_name: batch_df},
+                    sketches=False,
+                    metrics_repo=metrics_repo,
+                )
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:
