@@ -399,6 +399,15 @@ def test_foreach_batch_metrics_repo(spark, stream_source, tmp_path):
         .parquet(stream_source)
     )
     repo_path = str(tmp_path / "repo")
+    # pre-seed batch 0's run_id: Structured Streaming can REPLAY a batch
+    # whose foreachBatch ran but whose checkpoint never committed — the
+    # monitor must skip the profile append for an already-recorded batch
+    # instead of double-weighting it (review fix, replay idempotence)
+    from unify_spark.plans.history import MetricsRepository as _MR
+
+    _MR(spark, repo_path).append(
+        [("clips", "*", "*", "rows", "123.0")], "mon@0"
+    )
     q = validate_stream_foreach_batch(
         stream,
         [RangeConstraint("clips", "dur_ms", min_value=0, max_value=30000, min_exclusive=True)],
@@ -418,6 +427,9 @@ def test_foreach_batch_metrics_repo(spark, stream_source, tmp_path):
     stats = repo.global_stats(stats=("rows",))
     assert set(stats) == set(runs)
     assert all(v[("clips", "*", "rows")] > 0 for v in stats.values())
+    # the pre-seeded ("replayed") batch kept its original single row set:
+    # the stream's own profile for mon@0 was skipped, not appended on top
+    assert stats["mon@0"][("clips", "*", "rows")] == 123.0
     # a planted outlier batch (10x the volume) trips the online envelope
     # on the rows metric against the trailing real batches
     repo.append([("clips", "*", "*", "rows", str(10_000_000.0))], "mon@99")
