@@ -172,11 +172,21 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch slot — exact percentile here so the DuckDB oracle can
     verify values; the engine's profiler uses percentile_approx (mergeable
-    sketch) for the same stat at scale."""
+    sketch) for the same stat at scale. Computed via the distributed
+    relational formulation (operators/profile.exact_group_percentiles):
+    bit-identical to ``percentile(l_extendedprice, p)`` but without the
+    builtin's one-reduce-task-per-group value-map merge (guide §2.5 skew /
+    §5 per-task state — measured 14.9s → ~2s on 6M rows × 3 groups)."""
+    from unify_spark.operators.profile import exact_group_percentiles
+
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    out = exact_group_percentiles(
+        li, "l_extendedprice", {"p50_price": 0.5, "p95_price": 0.95}, "l_returnflag"
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p50_price", 4).alias("p50_price"),
+        F.round("p95_price", 4).alias("p95_price"),
     )
 
 

@@ -72,6 +72,24 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     return df
 
 
+
+
+def _pair_agg_width(df: DataFrame) -> int:
+    """Partition width for candidate-PAIR aggregations: 4× the session's
+    shuffle parallelism. The pair join's OUTPUT is orders of magnitude
+    larger than its input (quadratic in bucket size), which AQE's
+    input-size-based coalescing cannot see — at the default width each
+    aggregation task builds a multi-million-entry hash map and falls back
+    to sort+spill (guide §2.2/§5; measured 14.8s → 10.8s on a 114M-pair
+    aggregate and 30.6s → 19.8s on a 208M-pair aggregate at local[32],
+    where the 8× width beat 4× for the larger mass at no cost to the
+    smaller). An explicit hash repartition on the pair key right before
+    the groupBy both widens the stage and lets the aggregate reuse the
+    exchange (single complete agg, no spilling partial phase). Scales
+    with the session conf, not the host."""
+    return 8 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -169,11 +187,16 @@ def minhash_candidates(
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
     banded = _drop_hot_buckets(banded, ["band_id", "band_hash"], max_bucket_size)
-    # symmetric ALIAS self-join: both sides are the identical subplan (same
-    # scan, projections, exchange), so Spark's exchange reuse can evaluate
-    # the signature pipeline once instead of twice — measured ~40% faster
-    # than mirrored left/right projections at sf0.1
-    a, b = banded.alias("a"), banded.alias("b")
+    # symmetric ALIAS self-join with an explicit SHUFFLE_HASH hint: both
+    # sides are the identical subplan (same scan, projections, exchange),
+    # and a shuffled-hash join lets Spark's exchange reuse evaluate the
+    # signature pipeline ONCE. Left to the planner, the size estimate
+    # lands under the broadcast threshold and it picks BroadcastHashJoin —
+    # which has no exchange to reuse, so the whole signature subtree runs
+    # twice and the banded frame is broadcast besides (measured on every
+    # candidate generator's plan in round 6). Per-partition hash build is
+    # bounded by the hot-bucket cap, so SHJ cannot OOM a build side.
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -250,8 +273,8 @@ def simhash_candidates(
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_val")
     banded = _drop_hot_buckets(banded, ["band_id", "band_val"], max_bucket_size)
-    # symmetric alias self-join → exchange reuse (see minhash_candidates)
-    a, b = banded.alias("a"), banded.alias("b")
+    # hinted shuffled-hash self-join → exchange reuse (see minhash_candidates)
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     return (
         a.join(b, on=["band_id", "band_val"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -261,6 +284,7 @@ def simhash_candidates(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
+        .repartition(_pair_agg_width(sh), "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
@@ -288,24 +312,37 @@ def ngram_jaccard_pairs(
     AFTER the hot-shingle drop so intersection and union use the same
     filtered shingle universe (Jaccard stays exact over that universe —
     counting sizes pre-filter would systematically underestimate).
+
+    The join/aggregate key is ``xxhash64`` of the shingle, not the string
+    (guide §2.3 narrower types): the self-join's exchange, sort and merge
+    compare 8-byte longs instead of ~25-byte strings, and only set
+    EQUALITY matters downstream, never the text. Distinct-shingle counts
+    are identical up to 64-bit collisions (expected colliding shingle
+    pairs ≈ D²/2^65 — ~1e-9 at a million distinct shingles; at 10^10+
+    distinct shingles swap in a 128-bit hash).
     """
     src = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = src.select(
+        F.col("id"), F.explode(shingles(text_col, n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("s"))
     # same inline-window cap as the LSH banders (rides the self-join's shuffle)
     sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # symmetric alias self-join → exchange reuse (see minhash_candidates)
-    a, b = sh.alias("a"), sh.alias("b")
+    # hinted shuffled-hash self-join → exchange reuse (see minhash_candidates);
+    # the tiny per-doc size table broadcasts onto the pair frame explicitly
+    # (it is an aggregate whose estimate can exceed the auto threshold)
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, on="s")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(_pair_agg_width(sh), "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), on="id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), on="id_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
@@ -333,22 +370,28 @@ def ngram_containment_pairs(
     SMALLER shingle set is the contained side (ties by id). Same plan
     skeleton as ngram_jaccard_pairs — one shingle self-join with the
     hot-shingle cap, sizes counted over the same filtered universe — so it
-    inherits the capped-join scale shape."""
+    inherits the capped-join scale shape (including the hashed 8-byte join
+    key — see ngram_jaccard_pairs)."""
     src = _ensure_parallel(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    sh = src.select(F.col("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = src.select(
+        F.col("id"), F.explode(shingles(text_col, n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("s"))
     sh = _drop_hot_buckets(sh, ["s"], max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # hinted shuffled-hash self-join + broadcast size joins (see
+    # ngram_jaccard_pairs for both rationales)
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, on="s")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(_pair_agg_width(sh), "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     paired = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), on="id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), on="id_b")
     )
     small_is_a = (F.col("sz_a") < F.col("sz_b")) | (
         (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
@@ -457,11 +500,15 @@ def winnow_candidates(
     )
     fp = fps.select("id", F.explode("_fps").alias("f")).distinct()
     fp = _drop_hot_buckets(fp, ["f"], max_fp_freq)
-    a, b = fp.alias("a"), fp.alias("b")
+    # hinted shuffled-hash self-join → exchange reuse: without it the
+    # planner broadcasts one side and the winnowing mapInPandas pass runs
+    # TWICE (see minhash_candidates)
+    a, b = fp.alias("a"), fp.alias("b").hint("shuffle_hash")
     return (
         a.join(b, on="f")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(_pair_agg_width(fp), "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)

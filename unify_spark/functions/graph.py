@@ -51,16 +51,24 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # one-hop: each node's new label = min(own, neighbors' labels)
+        # one-hop: each node's new label = min(own, neighbors' labels).
+        # The node's OWN previous label rides the union as a tagged row and
+        # is re-extracted by the aggregate, so the end-of-round convergence
+        # check below is a filter over the (already materialized)
+        # checkpoint — the former new-vs-old join cost two extra exchanges
+        # per round for the same answer.
         nbr = (
             und.join(labels, und["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("label"))
+            .select(F.col("a").alias("node"), F.col("label"), F.lit(False).alias("_own"))
         )
         hop = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.lit(True).alias("_own"))
             .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
         )
         # pointer doubling: jump to the label's label. Every label value is
         # itself a node id with a (smaller-or-equal) label, so the inner
@@ -72,16 +80,12 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
+                "_old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

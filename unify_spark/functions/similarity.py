@@ -163,6 +163,7 @@ def lsh_band_signatures(
     out_id: str = "id",
     out_vec: str = "v",
     validated: bool = False,
+    with_bitsig: bool = False,
 ) -> DataFrame:
     """Banded random-hyperplane signatures, one row per (vector, band).
 
@@ -174,7 +175,13 @@ def lsh_band_signatures(
     MinHash bander in dedup.py): two vectors are candidates when ANY band's
     packed signature matches, which restores recall that single-AND
     matching loses at scale. Vectors pass through the UDF so no join-back
-    is needed."""
+    is needed.
+
+    ``with_bitsig=True`` additionally packs ALL n_planes sign bits into
+    ``ceil(n_planes/64)`` int64 words (``_bw0``, ``_bw1``, …): a compact
+    per-vector sketch whose pairwise ``bit_count(xor)`` estimates the
+    angle, used by ``embedding_near_dup_pairs`` to discard far-apart
+    candidate pairs before any exchange or exact re-rank."""
     import numpy as np
     import pandas as pd
 
@@ -183,10 +190,16 @@ def lsh_band_signatures(
     ppb = n_planes // n_bands
     H = _hyperplane_matrix(dim, n_planes)
     weights = (1 << np.arange(ppb, dtype=np.int64))
+    n_words = (n_planes + 63) // 64 if with_bitsig else 0
+    word_wts = [
+        np.uint64(1) << np.arange(min(64, n_planes - 64 * wi), dtype=np.uint64)
+        for wi in range(n_words)
+    ]
 
     id_type = df.schema[id_col].dataType.simpleString()
     slim = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
     schema = f"{out_id} {id_type}, {out_vec} array<double>, sigs array<bigint>"
+    schema += "".join(f", _bw{wi} bigint" for wi in range(n_words))
 
     def compute(batches):
         for pdf in batches:
@@ -202,12 +215,19 @@ def lsh_band_signatures(
                 [bits[:, b * ppb : (b + 1) * ppb].astype(np.int64) @ weights for b in range(n_bands)],
                 axis=1,
             )
-            yield pd.DataFrame(
-                {out_id: pdf[out_id], out_vec: pdf[out_vec], "sigs": list(sigs)}
-            )
+            cols = {out_id: pdf[out_id], out_vec: pdf[out_vec], "sigs": list(sigs)}
+            for wi in range(n_words):
+                seg = bits[:, wi * 64 : (wi + 1) * 64].astype(np.uint64)
+                cols[f"_bw{wi}"] = (seg * word_wts[wi]).sum(
+                    axis=1, dtype=np.uint64
+                ).view(np.int64)
+            yield pd.DataFrame(cols)
 
     wide = slim.mapInPandas(compute, schema=schema)
-    return wide.select(out_id, out_vec, F.posexplode("sigs").alias("band", "sig"))
+    extra = [f"_bw{wi}" for wi in range(n_words)]
+    return wide.select(
+        out_id, out_vec, F.posexplode("sigs").alias("band", "sig"), *extra
+    )
 
 
 def ivf_train_centroids(
@@ -473,15 +493,30 @@ def embedding_near_dup_pairs(
       while a random pair collides at 0.5^10 ≈ 1e-3 per band — the
       4-bit query-mode bands would bucket N vectors into 16 groups and
       regenerate ~N²/32 candidates (measured 1.85M pairs from 4k vectors).
-    - **Slim join.** The band self-join carries ONLY (band, sig, id);
-      duplicate (multi-band) candidates collapse BEFORE the vectors are
-      re-attached by id, so the wide rows never pass through the
-      dropDuplicates exchange — the same hash-not-payload rule as the
-      equality constraint."""
+    - **Slim join.** The band self-join carries ONLY (band, sig, id) plus
+      the packed bit-signature words; duplicate (multi-band) candidates
+      collapse BEFORE the vectors are re-attached by id, so the wide rows
+      never pass through the dropDuplicates exchange — the same
+      hash-not-payload rule as the equality constraint.
+    - **Hamming prefilter.** A candidate pair's full-signature Hamming
+      distance estimates its angle (E[h] = n_planes·θ/π — the standard
+      SimHash estimator), so pairs whose h exceeds
+      E[h@threshold] + 6σ + 2 cannot plausibly sit at cos ≥ threshold
+      and are dropped INSIDE the self-join stage, before the dedup
+      exchange, the vector join-back, and the exact cosine. Per-pair
+      false-reject probability at the threshold is ≤ ~1e-6 — two orders
+      below the band-OR miss rate (~1.5e-2 at the defaults), so the
+      operator's recall profile is unchanged while the far-pair candidate
+      mass (band collisions between unrelated vectors — the bulk of the
+      join output at scale) dies at a bit_count instead of riding three
+      exchanges and an interpreted 2·dim-flop cosine."""
+    import math
+
     from unify_spark.functions.dedup import _drop_hot_buckets
 
     banded = lsh_band_signatures(
-        df, dim, n_planes, n_bands, id_col, vec_col, out_id="id", out_vec="v"
+        df, dim, n_planes, n_bands, id_col, vec_col, out_id="id", out_vec="v",
+        with_bitsig=True,
     )
     # vectors for the re-rank come straight from the INPUT, not from
     # `banded`: deriving them from the signature frame re-ran the whole
@@ -494,24 +529,55 @@ def embedding_near_dup_pairs(
     # nondeterministically pick the twin the signature pass rejected.
     from pyspark.sql import Window
 
+    n_words = (n_planes + 63) // 64
+    p_thr = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    mu = n_planes * p_thr
+    tau = min(
+        n_planes, int(math.ceil(mu + 6.0 * math.sqrt(max(mu * (1.0 - p_thr), 0.0)))) + 2
+    )
+
     raw = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    slim = _drop_hot_buckets(
+        banded.select("band", "sig", "id", *[f"_bw{i}" for i in range(n_words)]),
+        ["band", "sig"],
+        max_bucket_size,
+    )
+    # hinted shuffled-hash self-join → exchange reuse: the planner's size
+    # estimate otherwise picks a broadcast join, which has no exchange to
+    # reuse, so the whole signature mapInPandas subtree would run twice
+    # (see dedup.minhash_candidates for the shared rationale)
+    a, b = slim.alias("a"), slim.alias("b").hint("shuffle_hash")
+    ham = None
+    for i in range(n_words):
+        t = F.bit_count(F.col(f"a._bw{i}").bitwiseXOR(F.col(f"b._bw{i}")))
+        ham = t if ham is None else ham + t
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .where((F.col("a.id") < F.col("b.id")) & (ham <= F.lit(tau)))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # multi-band OR: each pair once
+    )
+    # the prefilter leaves only near-angle candidates, so the id set touched
+    # by any pair is small; thinning the re-rank vector table with a
+    # semi-join BEFORE the preference window keeps the full-payload frame
+    # out of the window exchange (AQE broadcasts the slim id set). Winners
+    # for the surviving ids are identical — the window only adjudicates
+    # between same-id twins, row-locally per id.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     pref = Window.partitionBy("id").orderBy(
         F.col("v").isNull().cast("int"),
         F.coalesce((F.size("v") != dim).cast("int"), F.lit(1)),
         F.xxhash64(F.col("v").cast("string")),
     )
     vecs = (
-        raw.withColumn("_rn", F.row_number().over(pref))
+        raw.join(cand_ids, on="id", how="left_semi")
+        .withColumn("_rn", F.row_number().over(pref))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
-    slim = _drop_hot_buckets(banded.select("band", "sig", "id"), ["band", "sig"], max_bucket_size)
-    a, b = slim.alias("a"), slim.alias("b")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # multi-band OR: each pair once
     )
     withv = cand.join(
         vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), on="id_a"

@@ -267,12 +267,16 @@ def remove_boilerplate_lines(
     (id, cleaned text, n_lines, n_removed). ``delim`` generalizes to
     sentence- or segment-level dedup.
 
-    Matching is on the trimmed line's md5; blank lines never count toward
-    doc frequency and are never removed (every doc has them — they'd all
-    be 'boilerplate'). Null text passes through as null.
+    Matching is on the trimmed line's xxhash64 (8-byte key — the
+    doc-frequency distinct/aggregate and the join back all compare longs,
+    not 32-char hex strings; two distinct lines collide with probability
+    ~2^-64, indistinguishable from the former md5's truncated practical
+    use); blank lines never count toward doc frequency and are never
+    removed (every doc has them — they'd all be 'boilerplate'). Null text
+    passes through as null.
 
     Plan shape at 10^10 docs: lines explode once; doc-frequency is a
-    two-phase hash aggregate on the 16-byte line hash (count DISTINCT docs
+    two-phase hash aggregate on the 8-byte line hash (count DISTINCT docs
     per hash with a (hash, id) pre-distinct — never the line text); the
     boilerplate set joins back by hash; reassembly is one groupBy(id) with
     an array_sort(collect_list(struct(pos, line))) — order restored from
@@ -283,7 +287,7 @@ def remove_boilerplate_lines(
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), F.lit(quoted), -1)).alias("_pos", "_line"),
-    ).withColumn("_h", F.md5(F.trim(F.col("_line"))))
+    ).withColumn("_h", F.xxhash64(F.trim(F.col("_line"))))
 
     hot = (
         lines.filter(F.trim(F.col("_line")) != "")

@@ -174,3 +174,71 @@ def hll_estimate(
             F.hll_sketch_estimate("merged").alias("approx_distinct"),
         )
     )
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    group_col: str,
+) -> DataFrame:
+    """Exact per-group percentiles (Spark ``percentile`` semantics: linear
+    interpolation at position p·(n−1) over the sorted non-null values),
+    computed DISTRIBUTED instead of via the builtin's per-group value map.
+
+    Why not ``F.expr("percentile(...)")``: Spark's exact Percentile is a
+    TypedImperativeAggregate that accumulates a value→count map per group —
+    every map task builds (and serializes) a map over its slice, and the
+    final merge concatenates ALL of them inside one reduce task per group.
+    With few groups over many rows that is a driver-shaped wall: one task
+    merging millions of map entries per group (measured 14.9s on 6M rows ×
+    3 groups at local[32]). This formulation gets the identical numbers
+    from cheap relational pieces: a (group, value) hash-aggregate with
+    map-side partial combine, one window cumsum over the DISTINCT values
+    (orders of magnitude fewer rows than the table), and a final per-group
+    min-aggregate that picks the two straddling values per percentile.
+    Interpolation reproduces Percentile.getPercentile exactly:
+    (higher − pos)·v_lo + (pos − lower)·v_hi, so results are bit-identical.
+
+    Returns one row per group with one column per ``percentiles`` key."""
+    from pyspark.sql import Window
+
+    v, g = F.col(value_col), F.col(group_col)
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc_nulls_first())
+    wg = Window.partitionBy(group_col)
+    cum = counts.withColumn(
+        "_cum",
+        F.sum(F.when(v.isNotNull(), F.col("_c")).otherwise(F.lit(0))).over(w),
+    ).withColumn("_n", F.max("_cum").over(wg))
+
+    aggs = [F.max("_n").alias("_n")]
+    for name, p in percentiles.items():
+        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+        lo_rank = F.floor(pos) + 1
+        hi_rank = F.ceil(pos) + 1
+        keep = v.isNotNull()
+        aggs.append(
+            F.min(F.when(keep & (F.col("_cum") >= lo_rank), v)).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.min(F.when(keep & (F.col("_cum") >= hi_rank), v)).alias(f"_hi_{name}")
+        )
+    res = cum.groupBy(group_col).agg(*aggs)
+
+    outs = [g]
+    for name, p in percentiles.items():
+        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        vlo = F.col(f"_lo_{name}").cast("double")
+        vhi = F.col(f"_hi_{name}").cast("double")
+        outs.append(
+            F.when(F.col("_n") == 0, F.lit(None).cast("double"))
+            .when(hi == lo, vlo)
+            .otherwise(
+                (hi.cast("double") - pos) * vlo + (pos - lo.cast("double")) * vhi
+            )
+            .alias(name)
+        )
+    return res.select(*outs)
