@@ -259,17 +259,21 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     delimiter is the token boundary and 'boilerplate' means tokens present
     in >= 50 distinct docs): n_lines segments scanned, n_removed dropped."""
     docs = _t(spark, sf, "documents")
-    feats = text.quality_features("text")
+    # batch (Arrow) quality features — same numbers as the Column form
+    # (text.with_quality_frame docstring records the parity contract), one
+    # tokenization per document instead of an interpreted HOF stack per
+    # feature (guide §4.2; measured 8-10s → ~1s on the feature side)
+    feats = text.with_quality_frame(docs.select("doc_id", "text"), "text")
     bp = text.remove_boilerplate_lines(
         docs, "doc_id", "text", min_doc_freq=50, delim=" "
     ).select("doc_id", "n_lines", "n_removed")
-    return docs.select(
+    return feats.select(
         "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(feats["token_repetition_ratio"], 6).alias("tok_rep_ratio"),
-        F.round(feats["trigram_repetition_ratio"], 6).alias("tri_rep_ratio"),
+        F.col("n_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("token_repetition_ratio", 6).alias("tok_rep_ratio"),
+        F.round("trigram_repetition_ratio", 6).alias("tri_rep_ratio"),
     ).join(bp, on="doc_id")
 
 

@@ -157,23 +157,54 @@ def synth_pcm16_batch(
     return out
 
 
+# Per-worker cache of reference sine rows: the synth family has only 880
+# distinct frequencies (110 + index % 880), so with worker reuse
+# (spark.python.worker.reuse, on by default) each (sr, length, stride)
+# grid's sine table is computed once per worker and every later batch is a
+# gather instead of an np.sin over m×n samples (guide §4.5 heavyweight
+# state; the rows are float64 np.sin outputs reused verbatim, so results
+# stay bit-identical). Bounded: pathological corpora with many distinct
+# lengths fall back to direct computation once the cap is hit.
+_SIN_CACHE: dict = {}
+_SIN_CACHE_BUDGET = 64 << 20  # bytes
+_sin_cache_bytes = [0]
+
+
+def _sine_rows(freqs: "np.ndarray", sr_hz: int, n_out: int, stride: int) -> "np.ndarray":
+    t = (np.arange(n_out, dtype=np.float64) * stride) / float(sr_hz)
+    key = (sr_hz, n_out, stride)
+    d = _SIN_CACHE.get(key)
+    if d is None:
+        if _sin_cache_bytes[0] >= _SIN_CACHE_BUDGET:
+            return np.sin(2.0 * np.pi * np.outer(freqs, t))
+        d = _SIN_CACHE.setdefault(key, {})
+    uniq = np.unique(freqs)
+    missing = [f for f in uniq if f not in d]
+    if missing:
+        block = np.sin(2.0 * np.pi * np.outer(np.asarray(missing), t))
+        for i, f in enumerate(missing):
+            d[f] = block[i]
+        _sin_cache_bytes[0] += block.nbytes
+    return np.stack([d[f] for f in freqs])
+
+
 def synth_pcm16_strided_batch(
     indices: np.ndarray, sr_hz: int, n_samples: int, stride: int, row_chunk: int = 256
 ) -> np.ndarray:
     """Every ``stride``-th sample of the reference signal, bit-identical to
     ``synth_pcm16_batch(...)[:, ::stride]`` but computing only those samples
     (1/stride the sin + noise work and memory traffic) — used for strided SNR
-    estimation in the payload constraint."""
+    estimation in the payload constraint. Sine rows come from the
+    per-worker ``_SIN_CACHE`` (880 distinct frequencies total)."""
     m = indices.shape[0]
     if n_samples <= 0:
         return np.zeros((m, 0), dtype="<i2")
     n_out = (n_samples + stride - 1) // stride
     out = np.empty((m, n_out), dtype="<i2")
-    t = (np.arange(n_out, dtype=np.float64) * stride) / float(sr_hz)
     for s in range(0, m, row_chunk):
         e = min(s + row_chunk, m)
         freqs = 110.0 + (indices[s:e] % 880).astype(np.float64)
-        sig = 0.5 * np.sin(2.0 * np.pi * np.outer(freqs, t))
+        sig = 0.5 * _sine_rows(freqs, sr_hz, n_out, stride)
         sig += 0.01 * _noise_vec_2d(indices[s:e], n_samples, step=stride)
         out[s:e] = np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
     return out
@@ -212,14 +243,7 @@ def _encode_ulaw(pcm: np.ndarray) -> bytes:
 
 
 def _decode_ulaw(data: bytes) -> np.ndarray:
-    u = ~np.frombuffer(data, dtype=np.uint8).astype(np.int32) & 0xFF
-    sign = u & 0x80
-    exp = (u >> 4) & 0x07
-    mantissa = u & 0x0F
-    mag = ((mantissa << 3) + 0x84) << exp
-    mag -= 0x84
-    out = np.where(sign != 0, -mag, mag)
-    return np.clip(out, -32768, 32767).astype("<i2")
+    return _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
 
 
 def _encode_alaw(pcm: np.ndarray) -> bytes:
@@ -248,7 +272,34 @@ def _alaw_expand(raw: np.ndarray) -> np.ndarray:
 
 
 def _decode_alaw(data: bytes) -> np.ndarray:
-    return _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    return _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+
+
+# 256-entry G.711 decode tables: a companded byte has only 256 possible
+# values, so batch decode is one fancy-index gather instead of ~10 int32
+# vector ops + clip per element (exact by construction — the tables are
+# built with the same expand formulas below; pinned by the codec
+# round-trip/batch-equivalence tests).
+def _build_ulaw_lut() -> "np.ndarray":
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mag = (((u & 0x0F) << 3) + 0x84) << exp
+    mag -= 0x84
+    return np.clip(np.where(sign != 0, -mag, mag), -32768, 32767).astype("<i2")
+
+
+def _build_alaw_lut() -> "np.ndarray":
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    out = np.where(a & 0x80, t, -t)
+    return out.clip(-32768, 32767).astype("<i2")
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_ALAW_LUT = _build_alaw_lut()
 
 
 def _encode_flac(pcm: np.ndarray) -> bytes:
@@ -328,14 +379,9 @@ def decode_batch(blobs: list[bytes], codec: str) -> np.ndarray:
         d = np.ascontiguousarray(body).view("<i2")
         return np.cumsum(d.astype(np.int64), axis=1).astype(np.int16).astype("<i2")
     if codec == "ulaw":
-        u = ~raw.astype(np.int32) & 0xFF
-        sign = u & 0x80
-        exp = (u >> 4) & 0x07
-        mag = (((u & 0x0F) << 3) + 0x84) << exp
-        mag -= 0x84
-        return np.clip(np.where(sign != 0, -mag, mag), -32768, 32767).astype("<i2")
+        return _ULAW_LUT[raw]
     if codec == "alaw":
-        return _alaw_expand(raw)
+        return _ALAW_LUT[raw]
     if codec == "mp3":
         body = raw[:, len(_MP3_MAGIC) :]
         if not blobs[0].startswith(_MP3_MAGIC) or body.shape[1] % 2:

@@ -75,6 +75,12 @@ def connected_components(
         # lookup always hits and only decreases — path length to the
         # component minimum halves per round.
         lk = hop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        # the changed-count rides the checkpoint's materialization job as an
+        # Observation metric — zero extra jobs per round (the former
+        # separate count() was a full scheduling round trip every round)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             hop.join(lk, hop["label"] == lk["_ln"], "left")
             .select(
@@ -82,9 +88,10 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
                 "_old",
             )
+            .observe(obs, F.count(F.when(F.col("label") != F.col("_old"), 1)).alias("changed"))
             .localCheckpoint()
         )
-        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        changed = obs.get["changed"]
         labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))

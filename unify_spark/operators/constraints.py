@@ -24,11 +24,12 @@ class UniquenessConstraint(Constraint):
     `:db.unique/identity` semantics.
 
     Scale design: project to the key columns FIRST (column pruning — never
-    shuffle 100 TB of audio bytes to count ids), then two-phase aggregate:
-    an explicit partial count per input partition (map-side combine made
-    visible; also the salting story for adversarially hot keys) followed by
-    the global sum. Duplicate keys are expected to be rare, so the join back
-    to recover lineage is broadcast by AQE at runtime.
+    shuffle 100 TB of audio bytes to count ids), then one hash aggregate
+    whose built-in partial (map-side) phase pre-combines every key inside
+    its input partition — the skew guard for adversarially hot keys (a hot
+    key ships at most one partial row per input partition). Duplicate keys
+    are expected to be rare, so the join back to recover lineage is
+    broadcast by AQE at runtime.
     """
 
     def __init__(self, table: str, key_cols: list[str], salted: bool = True):
@@ -40,15 +41,17 @@ class UniquenessConstraint(Constraint):
     def violations(self, tables: dict[str, DataFrame], ctx: ValidationContext) -> DataFrame:
         df = tables[self.table]
         keys = df.select(*self.key_cols)
-        if self.salted:
-            # phase 1: per-input-partition partial counts (no skew possible —
-            # the salt is the physical partition id), phase 2: global sum.
-            partial = keys.groupBy(
-                *self.key_cols, F.spark_partition_id().alias("_salt")
-            ).agg(F.count(F.lit(1)).alias("_c"))
-            counts = partial.groupBy(*self.key_cols).agg(F.sum("_c").alias("dup_count"))
-        else:
-            counts = keys.groupBy(*self.key_cols).agg(F.count(F.lit(1)).alias("dup_count"))
+        # One groupBy for BOTH modes. Spark's hash aggregate already runs a
+        # partial (map-side) phase inside each input partition before the
+        # exchange — exactly the per-partition pre-combine the former
+        # explicit (key, spark_partition_id) two-phase spelled out, except
+        # Catalyst cannot see that a partition-id salt is partition-local,
+        # so it inserted a SECOND full-width exchange for it, doubling the
+        # shuffled rows on a mostly-unique key (the common case). A hot key
+        # still shuffles at most one partial row per input partition, so
+        # the skew story is unchanged (tests/test_skew.py pins both modes
+        # and their equality); ``salted`` is kept for config compatibility.
+        counts = keys.groupBy(*self.key_cols).agg(F.count(F.lit(1)).alias("dup_count"))
         dups = counts.filter(F.col("dup_count") > 1)
         # join lineage back; dup set is small → AQE broadcasts it
         bad = df.join(dups, on=self.key_cols, how="inner")

@@ -190,27 +190,90 @@ def exact_group_percentiles(
     TypedImperativeAggregate that accumulates a value→count map per group —
     every map task builds (and serializes) a map over its slice, and the
     final merge concatenates ALL of them inside one reduce task per group.
-    With few groups over many rows that is a driver-shaped wall: one task
-    merging millions of map entries per group (measured 14.9s on 6M rows ×
-    3 groups at local[32]). This formulation gets the identical numbers
-    from cheap relational pieces: a (group, value) hash-aggregate with
-    map-side partial combine, one window cumsum over the DISTINCT values
-    (orders of magnitude fewer rows than the table), and a final per-group
-    min-aggregate that picks the two straddling values per percentile.
-    Interpolation reproduces Percentile.getPercentile exactly:
-    (higher − pos)·v_lo + (pos − lower)·v_hi, so results are bit-identical.
+    With few groups over many rows that is a single-task wall (measured
+    14.9s on 6M rows × 3 groups at local[32]).
+
+    Shape here: (1) one (group, value) hash-aggregate with map-side partial
+    combine — the only pass over the table; (2) the cumulative count over
+    each group's sorted distinct values via the SAME two-phase distributed
+    prefix sum as functions/packing.pack_chunks (range shard + per-shard
+    driver offsets + one Arrow cumsum pass) — a ``Window.partitionBy(group)``
+    here would put each whole group into ONE sort task, the exact skew this
+    function exists to avoid; (3) a per-group min-aggregate picks the two
+    straddling values per percentile. The driver-collected shard totals are
+    (n_shards × n_groups) integers — metadata for the low-cardinality
+    groupings this helper targets (for high-cardinality groups the plain
+    grouped window is already parallel; use that instead). Interpolation
+    reproduces Percentile.getPercentile exactly: (higher − pos)·v_lo +
+    (pos − lower)·v_hi, so results are bit-identical to the builtin.
 
     Returns one row per group with one column per ``percentiles`` key."""
-    from pyspark.sql import Window
-
+    spark = df.sparkSession
+    n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     v, g = F.col(value_col), F.col(group_col)
     counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc_nulls_first())
-    wg = Window.partitionBy(group_col)
-    cum = counts.withColumn(
-        "_cum",
-        F.sum(F.when(v.isNotNull(), F.col("_c")).otherwise(F.lit(0))).over(w),
-    ).withColumn("_n", F.max("_cum").over(wg))
+
+    sharded = (
+        counts.repartitionByRange(n_shards, g, v.asc_nulls_first())
+        .sortWithinPartitions(g, v.asc_nulls_first())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    shard_totals = (
+        sharded.where(v.isNotNull())
+        .groupBy("_pid", group_col)
+        .agg(F.sum("_c").alias("_t"))
+        .collect()
+    )
+    group_n: dict = {}
+    per_group_shards: dict = {}
+    for r in shard_totals:
+        key = r[group_col]
+        group_n[key] = group_n.get(key, 0) + r["_t"]
+        per_group_shards.setdefault(key, []).append((r["_pid"], r["_t"]))
+    offsets: dict = {}
+    for key, shards in per_group_shards.items():
+        acc = 0
+        for pid, t in sorted(shards):
+            offsets[(pid, key)] = acc
+            acc += t
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    vtype = df.schema[value_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, {value_col} {vtype}, _cum long, _n long"
+
+    def add_cum(batches):
+        import numpy as np
+
+        run: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            nonnull = pdf[value_col].notna().to_numpy()
+            c = np.where(nonnull, pdf["_c"].to_numpy(dtype="int64"), 0)
+            cum = np.empty(len(pdf), dtype="int64")
+            ns = np.empty(len(pdf), dtype="int64")
+            # rows are sorted by (group, value); walk group segments
+            groups = pdf[group_col].to_numpy(dtype=object)
+            start = 0
+            while start < len(pdf):
+                end = start
+                key = groups[start]
+                while end < len(pdf) and groups[end] == key:
+                    end += 1
+                base = run.get(key)
+                if base is None:
+                    base = offsets.get((pid, key), 0)
+                cum[start:end] = base + np.cumsum(c[start:end])
+                run[key] = int(cum[end - 1])
+                ns[start:end] = group_n.get(key, 0)
+                start = end
+            yield pdf.assign(_cum=cum, _n=ns)[
+                [group_col, value_col, "_cum", "_n"]
+            ]
+
+    cum = sharded.mapInPandas(add_cum, out_schema)
 
     aggs = [F.max("_n").alias("_n")]
     for name, p in percentiles.items():

@@ -22,6 +22,14 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let the planner pick shuffled-hash joins when a side's per-partition
+    # build fits (guide §9/§3.1): the fact×fact equality/RI joins and the
+    # candidate self-joins skip the per-side sorts — measured −6% on the
+    # fused audio suite and −15% on the heaviest pair query, no regression
+    # beyond noise elsewhere. The AQE threshold bounds runtime conversions
+    # so a mis-estimated build side cannot OOM a task.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # keep Arrow batches a few MB when wide binary columns cross the JVM→
     # Python boundary: 10k-row batches of ~2.4 KB payloads measured 4-15x
