@@ -250,8 +250,11 @@ def minhash_candidates(
     # lands under the broadcast threshold and it picks BroadcastHashJoin —
     # which has no exchange to reuse, so the whole signature subtree runs
     # twice and the banded frame is broadcast besides (measured on every
-    # candidate generator's plan in round 6). Per-partition hash build is
-    # bounded by the hot-bucket cap, so SHJ cannot OOM a build side.
+    # candidate generator's plan in round 6). The forced SHJ's per-partition
+    # build is banded_rows/p slim rows (p = the explicit repartition width
+    # in _drop_hot_buckets, i.e. the session's shuffle parallelism) — size
+    # shuffle.partitions to the corpus as usual and the build stays
+    # hash-table-sized; the hot-bucket cap separately bounds any one key.
     a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, on=["band_id", "band_hash"])

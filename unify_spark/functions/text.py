@@ -177,7 +177,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
 
 
 def with_quality_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """``with_quality``'s batch form: the same seven quality features in ONE
+    r"""``with_quality``'s batch form: the same seven quality features in ONE
     Arrow-batched ``mapInPandas`` pass instead of a stack of higher-order
     Column expressions.
 

@@ -22,14 +22,16 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # let the planner pick shuffled-hash joins when a side's per-partition
-    # build fits (guide §9/§3.1): the fact×fact equality/RI joins and the
-    # candidate self-joins skip the per-side sorts — measured −6% on the
-    # fused audio suite and −15% on the heaviest pair query, no regression
-    # beyond noise elsewhere. The AQE threshold bounds runtime conversions
-    # so a mis-estimated build side cannot OOM a task.
-    "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+    # NOTE on shuffled-hash joins, tried and rejected in round 6 (guide
+    # §3.1): the static preference (preferSortMergeJoin=false) decides from
+    # SIZE ESTIMATES and OOM'd a 4M-row build side at local[2]; the
+    # runtime-sized AQE form (maxShuffledHashJoinLocalMapThreshold=64m)
+    # still died at local[32], where 32 concurrent tasks share the
+    # execution pool and a per-partition build that "fits" alone does not
+    # fit 32-wide ("not enough memory to build hash map"). Neither
+    # measured a win beyond noise once the explicit per-operator
+    # SHUFFLE_HASH hints (whose builds are provably slim) were in place,
+    # so fact×fact joins stay sort-merge.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # keep Arrow batches a few MB when wide binary columns cross the JVM→
     # Python boundary: 10k-row batches of ~2.4 KB payloads measured 4-15x
