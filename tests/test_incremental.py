@@ -474,3 +474,38 @@ def test_retuned_constraint_not_seeded(spark, audio_tables, tmp_path):
     save_fingerprints(base2, collect_fingerprints(audio_tables))
     plan2, _, _ = plan_incremental(spark, audio_tables, retuned, base2)
     assert "range:clips.dur_ms" not in plan2.blocked  # documented degradation
+
+
+def test_wall_clock_freshness_not_seeded_on_zero_diff(spark, tmp_path):
+    """Advisor round-5 fix: FreshnessConstraint with ref=None depends on
+    the wall clock, so a zero-diff chained re-run must RE-RUN it instead
+    of seeding the baseline's 'pass' — the stalled-pipeline scenario is
+    exactly the zero-diff case. Pure (ref-pinned) constraints still seed."""
+    from unify_spark.operators.constraints import (
+        FreshnessConstraint,
+        UniquenessConstraint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "2026-08-22 00:00:00", f"p{i % 2}") for i in range(40)],
+        "id bigint, ts string, part_date string",
+    )
+    tables = {"t": df}
+    suite = [
+        UniquenessConstraint("t", ["id"]),
+        FreshnessConstraint("t", "ts", max_age_hours=10_000_000, ref=None),
+    ]
+    assert FreshnessConstraint("t", "ts", 1, ref="2026-08-22").seedable
+    assert not FreshnessConstraint("t", "ts", 1, ref=None).seedable
+
+    base_out = str(tmp_path / "fresh_base")
+    runner = ValidationRunner(
+        spark, base_out, ValidationContext(run_id="fb")
+    )
+    runner.run(tables, suite, resume=False)
+    save_fingerprints(base_out, collect_fingerprints(tables), constraints=suite)
+
+    plan, _, _ = plan_incremental(spark, tables, suite, base_out)
+    assert plan.zero_diff
+    assert "uniqueness:t.id" in plan.seeded
+    assert "freshness:t.ts" not in plan.seeded

@@ -243,3 +243,32 @@ def test_categorical_drift_vs_baseline(spark, tmp_path):
         ).collect()
     }
     assert sb["p2"] == 1 and sb["p0"] == 0 and sb["p1"] == 0
+
+
+def test_categorical_out_of_contract_value_trips_novelty(spark):
+    """Advisor round-5 fix: with contract ``categories`` declared, an
+    out-of-contract value collapses into <other> — and its appearance in
+    ONE partition while the rest of the corpus has none must trip the
+    new-category alarm (previously is_new excluded <other>, so the
+    documented codec-rollout alarm could never fire in contract mode)."""
+    from unify_spark.operators.base import ValidationContext
+    from unify_spark.operators.drift import CategoricalDriftConstraint
+
+    rows = []
+    for p in ("p0", "p1", "p2"):
+        rows += [(f"{p}-{i}", "pcm_s16le" if i % 2 else "mulaw", p) for i in range(200)]
+    # p3: 4% of rows carry a codec the contract never declared
+    rows += [(f"p3-{i}", "pcm_s16le" if i % 2 else "mulaw", "p3") for i in range(192)]
+    rows += [(f"p3-new-{i}", "opus", "p3") for i in range(8)]
+    df = spark.createDataFrame(rows, ["clip_id", "codec", "part_date"])
+    c = CategoricalDriftConstraint(
+        "clips", "codec", categories=["pcm_s16le", "mulaw"], psi_threshold=0.25
+    )
+    scores = {
+        p: (psi, new, failed)
+        for p, psi, new, failed in c.partition_scores(
+            {"clips": df}, ValidationContext(run_id="cdx")
+        )
+    }
+    assert scores["p3"][1] >= 1 and scores["p3"][2]
+    assert scores["p0"][1] == 0 and not scores["p0"][2]

@@ -508,3 +508,46 @@ def test_fused_cap_two_phase_topk(spark, audio_tables, tmp_path):
         for r in ev.filter(ev.constraint == uniq.name).select("key", "column").collect()
     )
     assert got == expected
+
+
+def test_split_valid_clean_run_routes_all_clean(spark, tmp_path):
+    """Advisor round-5 fix: a fully clean per-stage run with
+    collect_violating_keys writes no sidecar files (run() guards the sink
+    behind ``if total:``), and split_valid must treat the absent sidecar
+    as an empty key set — every row routes to clean — instead of raising
+    FileNotFoundError with a misleading message."""
+    from pyspark.sql import functions as F
+
+    from unify_spark.operators.constraints import RangeConstraint
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("val")
+    )
+    ctx = ValidationContext(run_id="cl", collect_violating_keys=True)
+    runner = ValidationRunner(spark, str(tmp_path), ctx)
+    res = runner.run({"t": df}, [RangeConstraint("t", "val", min_value=0.0)])
+    assert res.passed
+    clean, bad = runner.split_valid(df, "t", "k")
+    assert clean.count() == 100 and bad.count() == 0
+    # a runner that never collected keys still gets the explicit error
+    runner2 = ValidationRunner(
+        spark, str(tmp_path / "nokeys"), ValidationContext(run_id="nk")
+    )
+    with pytest.raises(FileNotFoundError):
+        runner2.violating_keys()
+
+
+def test_split_valid_bigint_keys_exact(spark, tmp_path):
+    """Advisor round-5 fix: the sidecar stores keys as strings; a bare
+    bigint==string equality compares via double and collides ids above
+    2^53 — the explicit string cast keeps routing exact."""
+    from unify_spark.operators.constraints import RangeConstraint
+
+    big = 1 << 53  # big and big+1 are EQUAL as doubles
+    df = spark.createDataFrame([(big, 1.0), (big + 1, -5.0)], "k bigint, val double")
+    ctx = ValidationContext(run_id="bg", collect_violating_keys=True)
+    runner = ValidationRunner(spark, str(tmp_path), ctx)
+    runner.run({"t": df}, [RangeConstraint("t", "val", min_value=0.0)])
+    clean, bad = runner.split_valid(df, "t", "k")
+    assert {r["k"] for r in bad.collect()} == {big + 1}
+    assert {r["k"] for r in clean.collect()} == {big}

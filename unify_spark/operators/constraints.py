@@ -1074,6 +1074,10 @@ class FreshnessConstraint(Constraint):
         self.ts_col = ts_col
         self.max_age_hours = float(max_age_hours)
         self.ref = ref
+        # ref=None reads the wall clock: the verdict is NOT a pure function
+        # of the inputs, so cross-run zero-diff seeding must re-run it
+        # (plans/incremental.py checks this flag)
+        self.seedable = ref is not None
         self.name = f"freshness:{table}.{ts_col}"
         self.column = ts_col
 

@@ -396,9 +396,12 @@ class CategoricalDriftConstraint(Constraint):
         p = (F.col("n") + 1.0) / (F.col("part_total") + F.col("nb"))
         q = (F.col("rest_n") + 1.0) / (F.col("rest_total") + F.col("nb"))
         psi_term = (p - q) * F.log(p / q)
-        is_new = (
-            (F.col("n") > 0) & (F.col("rest_n") == 0) & (F.col("val") != self.OTHER)
-        ).cast("int")
+        # <other> is NOT excluded from novelty: with contract ``categories``
+        # every out-of-contract value collapses into it, so "this
+        # partition has out-of-universe values and the rest of the corpus
+        # has none" IS the new-category alarm (a brand-new codec would
+        # otherwise never fire it — advisor round-5 fix).
+        is_new = ((F.col("n") > 0) & (F.col("rest_n") == 0)).cast("int")
         scored = (
             dense.select(
                 "part", psi_term.alias("psi_term"), is_new.alias("is_new")
@@ -518,9 +521,8 @@ class CategoricalDriftConstraint(Constraint):
         p = (F.col("n") + 1.0) / (F.col("part_total") + F.col("nb"))
         q = (F.col("ref_n") + 1.0) / (F.col("ref_total") + F.col("nb"))
         psi_term = (p - q) * F.log(p / q)
-        is_new = (
-            (F.col("n") > 0) & (F.col("ref_n") == 0) & (F.col("val") != self.OTHER)
-        ).cast("int")
+        # <other> counts toward novelty here too (see scores_plan)
+        is_new = ((F.col("n") > 0) & (F.col("ref_n") == 0)).cast("int")
         scored = (
             dense.select("part", psi_term.alias("psi_term"), is_new.alias("is_new"))
             .groupBy("part")

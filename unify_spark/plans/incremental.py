@@ -310,7 +310,16 @@ def plan_incremental(
             # re-validation becomes metadata-only. Gated on the baseline
             # stage having actually COMPLETED (errored/absent stages
             # re-run).
-            if not (plan.zero_diff and c.name in base_done):
+            # wall-clock-dependent constraints (FreshnessConstraint with
+            # ref=None) are NOT pure functions of unchanged inputs: a
+            # zero-diff daily chain over a stalled pipeline is exactly the
+            # staleness scenario, so their baseline verdicts must never be
+            # seeded forward (advisor round-5 fix; Constraint.seedable)
+            if not (
+                plan.zero_diff
+                and c.name in base_done
+                and getattr(c, "seedable", True)
+            ):
                 continue
             total = 0
             seeded_parts: list[str] = []

@@ -1004,15 +1004,31 @@ class ValidationRunner:
 
     def violating_keys(self) -> DataFrame:
         """The run's UNCAPPED distinct (constraint, table, key) sidecar —
-        written when ``ctx.collect_violating_keys`` is set."""
+        written when ``ctx.collect_violating_keys`` is set. A FULLY CLEAN
+        per-stage run writes no files (run() guards its sink behind
+        ``if total:``, and an empty partitioned parquet would not even be
+        schema-readable), so when this runner collects violating keys and
+        the sidecar is absent/empty the honest answer is an empty key set —
+        every row routes to clean — not an error (advisor round-5 fix).
+        The error remains for runners that never collected keys at all."""
         path = os.path.join(self.out_dir, "violating_keys")
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"no violating_keys sidecar under {self.out_dir} — run with "
-                "ValidationContext(collect_violating_keys=True) (CLI: "
-                "--quarantine-to)"
-            )
-        return self.spark.read.parquet(path)
+        schema = "constraint string, table string, key string, part string"
+        if os.path.exists(path):
+            try:
+                return self.spark.read.parquet(path)
+            except Exception:
+                # directory exists but holds no readable files (clean run
+                # under the fused path writes at least the _SUCCESS marker)
+                if self.ctx.collect_violating_keys:
+                    return self.spark.createDataFrame([], schema)
+                raise
+        if self.ctx.collect_violating_keys:
+            return self.spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"no violating_keys sidecar under {self.out_dir} — run with "
+            "ValidationContext(collect_violating_keys=True) (CLI: "
+            "--quarantine-to)"
+        )
 
     def split_valid(
         self,
@@ -1048,7 +1064,11 @@ class ValidationRunner:
         if drop:
             keys = keys.filter(~F.col("constraint").isin(list(drop)))
         keys = keys.select(F.col("key").alias("__vk")).distinct()
-        cond = df[key_col] == F.col("__vk")
+        # the sidecar stores keys as STRINGS; a bare equality against e.g. a
+        # bigint key column would compare via double and lose precision
+        # above 2^53 — cast the frame's key explicitly so routing is exact
+        # at any id scale (advisor round-5 fix)
+        cond = df[key_col].cast("string") == F.col("__vk")
         clean = df.join(keys, on=cond, how="left_anti")
         quarantined = df.join(keys, on=cond, how="left_semi")
         return clean, quarantined
