@@ -193,7 +193,12 @@ def _drop_hot_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> Da
     # coalescing; measured 8 tasks grinding 100M pair rows). A user-specified
     # partition count is exempt from AQE coalescing, the window clusters on
     # it with no extra exchange, and the self-join reuses it on both aliases.
-    p = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # 4× the session parallelism for the same reason as _pair_agg_width:
+    # the join's OUTPUT is quadratic in bucket size, so per-task pair
+    # production at 1× width dwarfs the input share (208M-pair containment
+    # inter stage measured 17.0s at 1× → 12.9s at 4×, local[32]); the
+    # extra width also shrinks the hinted SHJ's per-partition build.
+    p = 4 * int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     banded = banded.repartition(p, *keys)
     w = Window.partitionBy(*keys)
     return (

@@ -42,6 +42,13 @@ _BASE_CONF = {
     # (4N suite throughput dropped ~7% at 4096), so the default stays 2048.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # partition-grain count/min/max aggregates (the runner's table_stats
+    # pre-pass, partition-completeness checks) answer from parquet
+    # footer/row-group metadata instead of scanning data columns —
+    # measured 2.9s → 0.8s for groupBy(part).count() over the 4M-clip
+    # fixture, a level-invariant saving in every suite run (guide §6);
+    # results are exact (Spark only pushes when semantics allow)
+    "spark.sql.parquet.aggregatePushDown": "true",
     # fixture tables are hive-partitioned by part_date=YYYY-MM-DD; keep the
     # partition value a string (matches the declared schema) instead of date
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
