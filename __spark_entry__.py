@@ -78,8 +78,11 @@ def q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Referential integrity at fact×fact scale (shuffle anti-join)."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    # no pre-distinct: LeftAnti is an existence check, so deduplicating the
+    # parent side only added an aggregate pass (round-6 optimization;
+    # result identical — the oracle is NOT EXISTS)
     return (
-        li.join(orders.distinct(), on="l_orderkey", how="left_anti")
+        li.join(orders, on="l_orderkey", how="left_anti")
         .select("l_orderkey", "l_partkey", "l_linenumber")
     )
 

@@ -100,9 +100,13 @@ class ReferentialIntegrityConstraint(Constraint):
         child = tables[self.table]
         parent = tables[self.parent_table].select(
             F.col(self.parent_key).alias(self.child_key)
-        ).dropDuplicates([self.child_key])
+        )
         if self.strategy == "broadcast":
-            parent = F.broadcast(parent)
+            # dedup only where it buys something: it bounds the broadcast
+            # relation. For the shuffle/auto anti-join it was a pure extra
+            # aggregate pass over the parent — LeftAnti is an existence
+            # check and handles duplicate parent keys natively.
+            parent = F.broadcast(parent.dropDuplicates([self.child_key]))
         elif self.strategy == "shuffle":
             parent = parent.hint("shuffle_merge")
         dangling = child.filter(F.col(self.child_key).isNotNull()).join(
