@@ -52,6 +52,26 @@ def test_distributed_sketch(spark, audio_tables):
     assert p_parts[drift_part] > 1.5 * min(p_parts.values())
 
 
+def test_distributed_sketch_with_empty_partitions(spark):
+    """An empty input partition must not break the Arrow partial-sketch pass
+    (regression: an empty dict-built DataFrame defaults every column to
+    float64 and pyarrow raises ArrowNotImplementedError converting it to the
+    array<double> sketch slots — first seen on the sf0.1 lineitem layout)."""
+    df = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(6)], "v double, part string"
+    ).repartition(16)  # 16 partitions, 6 rows: >= 10 empty partitions
+    digests = td.sketch_column(df, "v", part_col="part")
+    assert set(digests) == {"a", "b", "*"}
+    assert td.quantile(digests["*"], 0.5) == pytest.approx(2.5, abs=1.0)
+    # all-null column: every task is empty after the null filter; the
+    # degenerate result is the defined empty digest, not an Arrow crash
+    nulls = spark.createDataFrame(
+        [(None, "a")] * 4, "v double, part string"
+    ).repartition(4)
+    empty = td.sketch_column(nulls, "v", part_col="part")
+    assert np.isnan(td.quantile(empty["*"], 0.5))
+
+
 def test_tdigest_sidecar_rows_incremental(spark, tmp_path):
     """Persisted per-partition digest rows answer quantiles over any
     partition subset, and a new partition is absorbed by appending its row."""

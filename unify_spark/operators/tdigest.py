@@ -132,6 +132,12 @@ def sketch_column(
         for pdf in batches:
             for part, g in pdf.groupby("part"):
                 acc.setdefault(str(part), []).append(g["v"].to_numpy())
+        if not acc:
+            # an empty input partition must yield NOTHING: an empty dict-built
+            # DataFrame defaults every column to float64 and pyarrow cannot
+            # convert an empty float64 column to the array<double> schema
+            # slots (ArrowNotImplementedError at collect time)
+            return
         rows = {"part": [], "means": [], "weights": [], "lo": [], "hi": []}
         for part, chunks in acc.items():
             d = build(np.concatenate(chunks), compression)
