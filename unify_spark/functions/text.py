@@ -97,6 +97,11 @@ def with_winnow_fingerprints(
     def run(batches):
         with np.errstate(over="ignore"):
             for pdf in batches:
+                if pdf.empty:
+                    # same guard as every other array-schema emitter: a
+                    # 0-row dict/copy-built frame defaults new columns to
+                    # float64, which pyarrow cannot convert to array<bigint>
+                    continue
                 fps = []
                 for t in pdf[text_col]:
                     if t is None:
